@@ -1,0 +1,156 @@
+"""Headline benchmark: utterances/sec/chip for the fused embed pipeline.
+
+Measures the BASELINE.json primary metric — throughput of (on-device
+fragment-gather → stride-decimate → whiten → conv1d encoder → 64-d embedding)
+over 3 s @ 16 kHz utterances — on whatever accelerator is attached, and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured against the CPU reference-pipeline baseline
+recorded in BASELINE.md (measure/refresh it with ``python bench.py
+--cpu-baseline``: host-numpy preprocessing + the same encoder on the CPU
+backend at the reference's batch 32 — the rebuild of the reference's
+Keras-CPU data path). North star: ≥50× (BASELINE.json).
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+# CPU reference-pipeline baseline, measured in-sandbox with
+# `python bench.py --cpu-baseline` (see BASELINE.md for the record).
+CPU_BASELINE_UTT_PER_SEC = 41.32
+
+SECONDS = 3.0
+SR = 16000
+DOWNSAMPLING = 4
+FRAG = int(SECONDS * SR)
+STORE_T = FRAG + 8000  # slack so offsets exercise the dynamic-slice path
+
+
+def make_model_and_params(compute_dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    from voicemap_tpu.config import EncoderConfig
+    from voicemap_tpu.models.encoder import ConvEncoder
+
+    cfg = EncoderConfig(filters=128, embedding_dim=64, dropout=0.0,
+                        compute_dtype=compute_dtype)
+    model = ConvEncoder(cfg)
+    T = FRAG // DOWNSAMPLING
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T, 1)), train=False)
+    return model, variables
+
+
+def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5) -> dict:
+    """Fused on-device pipeline throughput on the attached accelerator."""
+    import jax
+    import jax.numpy as jnp
+
+    from voicemap_tpu.ops import preprocess
+
+    model, variables = make_model_and_params("bfloat16")
+    rng = np.random.default_rng(0)
+    store = jnp.asarray(
+        rng.integers(-20000, 20000, size=(batch_size, STORE_T), dtype=np.int16)
+    )
+    offsets = jnp.asarray(rng.integers(0, STORE_T - FRAG, size=(batch_size,), dtype=np.int32))
+
+    @jax.jit
+    def embed(store, offsets):
+        x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
+        return model.apply(variables, x, train=False)
+
+    out = embed(store, offsets)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(embed(store, offsets))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed(store, offsets)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    utt_per_sec = batch_size * iters / dt
+
+    # p50 single-utterance embed latency (BASELINE.json metric 3).
+    one_store = store[:1]
+    one_off = offsets[:1]
+    jax.block_until_ready(embed(one_store, one_off))
+    lats = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(embed(one_store, one_off))
+        lats.append(time.perf_counter() - t0)
+    p50_ms = statistics.median(lats) * 1e3
+    return {"utt_per_sec": utt_per_sec, "p50_embed_ms": p50_ms,
+            "batch": batch_size, "backend": jax.default_backend()}
+
+
+def bench_cpu_baseline(batch_size: int = 32, iters: int = 10) -> dict:
+    """Reference-style CPU pipeline: host-numpy preprocess + CPU conv fwd."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    model, variables = make_model_and_params("float32")
+    rng = np.random.default_rng(0)
+    raw = rng.integers(-20000, 20000, size=(batch_size, STORE_T), dtype=np.int16)
+
+    def host_preprocess(raw):
+        offs = rng.integers(0, STORE_T - FRAG, size=(batch_size,))
+        frags = np.stack([raw[i, o: o + FRAG] for i, o in enumerate(offs)])
+        x = frags.astype(np.float32) / 32768.0
+        x = x[:, ::DOWNSAMPLING]
+        mean = x.mean(axis=1, keepdims=True)
+        x = x - mean
+        rms = np.sqrt((x ** 2).mean(axis=1, keepdims=True))
+        x = x * (0.038021 / (rms + 1e-8))
+        return x[..., None]
+
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    jax.block_until_ready(fwd(jnp.asarray(host_preprocess(raw))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(jnp.asarray(host_preprocess(raw)))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return {"utt_per_sec": batch_size * iters / dt, "batch": batch_size}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu-baseline", action="store_true",
+                   help="measure the CPU reference-pipeline baseline instead")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    args = p.parse_args()
+
+    if args.cpu_baseline:
+        r = bench_cpu_baseline(args.batch_size or 32, args.iters or 10)
+        print(json.dumps({"metric": "cpu_baseline_utterances_per_sec",
+                          "value": round(r["utt_per_sec"], 2),
+                          "unit": "utterances/sec",
+                          "vs_baseline": 1.0}))
+        return
+
+    r = bench_device(args.batch_size or 256, args.iters or 30)
+    print(json.dumps({
+        "metric": "utterances_per_sec_per_chip",
+        "value": round(r["utt_per_sec"], 2),
+        "unit": "utterances/sec (3s @ 16kHz, embed pipeline)",
+        "vs_baseline": round(r["utt_per_sec"] / CPU_BASELINE_UTT_PER_SEC, 2),
+    }))
+    print(f"# p50 embed latency: {r['p50_embed_ms']:.3f} ms | backend: {r['backend']}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Multi-device tests on the faked 8-device CPU mesh (SURVEY.md §4 item 5):
+DP step equivalence with single-device training, sharded/ring distance
+matrices vs dense jnp, halo-exchange conv vs single-device forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicemap_tpu.config import (
+    DataConfig,
+    EncoderConfig,
+    ExperimentConfig,
+    SiameseConfig,
+    TrainConfig,
+)
+from voicemap_tpu.models.classifier import SpeakerClassifier
+from voicemap_tpu.models.encoder import ConvEncoder
+from voicemap_tpu.models.siamese import SiameseNet
+from voicemap_tpu.ops.distance import pairwise_sq_euclidean
+from voicemap_tpu.parallel import data_parallel, halo_conv, mesh as mesh_mod
+from voicemap_tpu.parallel.sharded_distance import (
+    ring_sq_euclidean,
+    sharded_nearest_support,
+    sharded_sq_euclidean,
+)
+from voicemap_tpu.train import steps as steps_mod
+from voicemap_tpu.train.loop import init_model_state
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return mesh_mod.data_mesh(8)
+
+
+# ---------------------------------------------------------------------------
+# Sharded distance matrices
+# ---------------------------------------------------------------------------
+
+def test_sharded_sq_euclidean_matches_dense(mesh8):
+    r = np.random.default_rng(0)
+    q = jnp.asarray(r.standard_normal((16, 32)), jnp.float32)
+    s = jnp.asarray(r.standard_normal((40, 32)), jnp.float32)
+    out = sharded_sq_euclidean(q, s, mesh8)
+    expect = pairwise_sq_euclidean(q, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_ring_sq_euclidean_matches_dense(mesh8):
+    r = np.random.default_rng(1)
+    q = jnp.asarray(r.standard_normal((24, 32)), jnp.float32)  # 3 rows/device
+    s = jnp.asarray(r.standard_normal((40, 32)), jnp.float32)  # 5 cols/device
+    out = ring_sq_euclidean(q, s, mesh8)
+    expect = pairwise_sq_euclidean(q, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_nearest_support(mesh8):
+    r = np.random.default_rng(2)
+    q = jnp.asarray(r.standard_normal((10, 16)), jnp.float32)
+    s = jnp.asarray(r.standard_normal((64, 16)), jnp.float32)
+    out = np.asarray(sharded_nearest_support(q, s, mesh8))
+    expect = np.argmin(np.asarray(pairwise_sq_euclidean(q, s)), axis=1)
+    np.testing.assert_array_equal(out, expect)
+
+
+# ---------------------------------------------------------------------------
+# Halo-exchange time-sharded conv (sequence parallelism)
+# ---------------------------------------------------------------------------
+
+ENC = EncoderConfig(filters=4, embedding_dim=8, dropout=0.0, compute_dtype="float32")
+
+
+def test_halo_encoder_matches_single_device(mesh8):
+    model = ConvEncoder(ENC)
+    T = 2048  # divisible by 8 shards × pools (4·2·2·2=32 per shard → 256/shard)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, T, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    expect = model.apply(variables, x, train=False)
+    f = halo_conv.make_sharded_embed_fn(ENC, mesh8, axis="data")
+    out = f(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_halo_encoder_dilated(mesh8):
+    cfg = dataclasses.replace(
+        ENC,
+        filter_multipliers=(1, 2),
+        kernel_sizes=(16, 3),
+        pool_sizes=(4, 2),
+        dilations=(1, 4),
+    )
+    model = ConvEncoder(cfg)
+    T = 1024
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, T, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    expect = model.apply(variables, x, train=False)
+    f = halo_conv.make_sharded_embed_fn(cfg, mesh8, axis="data")
+    out = f(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel train step
+# ---------------------------------------------------------------------------
+
+def _dp_cfg(corpus_root, mode):
+    return ExperimentConfig(
+        mode=mode,
+        data=DataConfig(
+            data_root=corpus_root, subsets=("dev-clean",), seconds=1.0,
+            downsampling=4,
+        ),
+        encoder=ENC,
+        siamese=SiameseConfig(),
+        train=TrainConfig(batch_size=16, learning_rate=3e-3, seed=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def dp_store(corpus_root):
+    from voicemap_tpu.data.dataset import SpeakerDataset
+
+    ds = SpeakerDataset(
+        subsets=("dev-clean",), seconds=1.0, data_root=corpus_root, seed=0
+    )
+    return steps_mod.DeviceStore.from_host(ds.to_store()), ds
+
+
+def test_dp_classifier_trains(mesh8, dp_store, corpus_root):
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    step, _ = data_parallel.make_dp_classifier_train_step(model, cfg, mesh8)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, store, key)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), "DP classifier loss flat"
+    # Replicated output state must be identical across devices.
+    p = state.params["encoder"]["block_0"]["conv"]["kernel"]
+    assert p.sharding.is_fully_replicated
+
+
+def test_dp_siamese_trains(mesh8, dp_store, corpus_root):
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "siamese")
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    state = init_model_state(model, cfg)
+    step, _ = data_parallel.make_dp_siamese_train_step(model, cfg, mesh8)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, store, key)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), "DP siamese loss flat"
+
+
+def test_dp_grads_match_shardwise_average(mesh8, dp_store, corpus_root):
+    """pmean of per-shard grads == host-computed average of per-shard grads.
+
+    (Not compared against full-batch grads: BatchNorm statistics are
+    per-shard in DP training, so full-batch grads legitimately differ —
+    the property that must hold exactly is the collective reduction.)
+    """
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    loss_fn = steps_mod.classifier_loss_fn(model)
+
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.standard_normal((16, cfg.data.model_length, 1)), jnp.float32)
+    y = jnp.asarray(r.integers(0, ds.num_speakers, 16), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    # Host reference: grads per 2-element shard, then tree-average.
+    per_shard = []
+    for i in range(8):
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x[2 * i : 2 * i + 2],
+            y[2 * i : 2 * i + 2], key,
+        )
+        per_shard.append(g)
+    g_single = jax.tree.map(
+        lambda *gs: jnp.mean(jnp.stack(gs), axis=0), *per_shard
+    )
+
+    from jax.sharding import PartitionSpec as P
+
+    def device_grads(params, bs, x_local, y_local):
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, bs, x_local, y_local, key
+        )
+        return jax.tree.map(lambda t: jax.lax.pmean(t, "data"), g)
+
+    g_dp = jax.jit(
+        jax.shard_map(
+            device_grads,
+            mesh=mesh8,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(state.params, state.batch_stats, x, y)
+
+    flat_s = jax.tree.leaves(g_single)
+    flat_d = jax.tree.leaves(g_dp)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)

@@ -1,0 +1,158 @@
+"""Single-chip integration tests (SURVEY.md §4 item 4): short training runs
+on the synthetic corpus through the fully fused on-device pipeline —
+loss decreases and n-shot accuracy beats chance."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicemap_tpu.config import (
+    DataConfig,
+    EncoderConfig,
+    ExperimentConfig,
+    SiameseConfig,
+    TrainConfig,
+)
+from voicemap_tpu.eval import nshot
+from voicemap_tpu.models.classifier import SpeakerClassifier
+from voicemap_tpu.models.siamese import SiameseNet
+from voicemap_tpu.train import steps as steps_mod
+from voicemap_tpu.train.state import init_state
+
+
+def small_cfg(corpus_root, mode, **train_kw):
+    return ExperimentConfig(
+        mode=mode,
+        data=DataConfig(
+            data_root=corpus_root,
+            subsets=("dev-clean",),
+            seconds=1.0,
+            downsampling=4,
+        ),
+        encoder=EncoderConfig(
+            filters=8, embedding_dim=16, dropout=0.0, compute_dtype="float32"
+        ),
+        siamese=SiameseConfig(),
+        train=TrainConfig(batch_size=16, learning_rate=3e-3, **train_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def store_and_root(corpus_root):
+    from voicemap_tpu.data.dataset import SpeakerDataset
+
+    ds = SpeakerDataset(
+        subsets=("dev-clean",), seconds=1.0, data_root=corpus_root, seed=0
+    )
+    return steps_mod.DeviceStore.from_host(ds.to_store()), ds, corpus_root
+
+
+def _init(model, cfg, example_inputs):
+    variables = model.init(jax.random.PRNGKey(0), *example_inputs, train=False)
+    from voicemap_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(cfg.train.clipnorm)
+    return init_state(
+        variables["params"],
+        variables["batch_stats"],
+        tx,
+        cfg.train.learning_rate,
+    )
+
+
+def test_classifier_overfits(store_and_root):
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+    state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+    step, _ = steps_mod.make_classifier_train_step(model, cfg)
+    key = jax.random.PRNGKey(42)
+    first_losses, last_losses = [], []
+    for i in range(60):
+        state, metrics = step(state, store, key)
+        if i < 5:
+            first_losses.append(float(metrics["loss"]))
+        if i >= 55:
+            last_losses.append(float(metrics["loss"]))
+    assert np.mean(last_losses) < np.mean(first_losses) * 0.7, (
+        f"loss did not decrease: {np.mean(first_losses)} → {np.mean(last_losses)}"
+    )
+    # n-shot eval beats chance (1-shot 2-way chance = 0.5).
+    acc = nshot.evaluate(
+        model, state, store, cfg, jax.random.PRNGKey(7),
+        num_tasks=200, n=1, k=2, embed_batch=16,
+    )
+    assert acc > 0.6, f"1-shot 2-way accuracy {acc} not above chance"
+
+
+def test_siamese_trains_bce(store_and_root):
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "siamese")
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    T = cfg.data.model_length
+    x = jnp.zeros((1, T, 1))
+    state = _init(model, cfg, (x, x))
+    step, _ = steps_mod.make_siamese_train_step(model, cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(60):
+        state, metrics = step(state, store, key)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), "siamese BCE loss flat"
+    acc = nshot.evaluate(
+        model, state, store, cfg, jax.random.PRNGKey(8),
+        num_tasks=200, n=1, k=2, embed_batch=16,
+    )
+    assert acc > 0.55, f"siamese 1-shot 2-way accuracy {acc}"
+
+
+def test_siamese_trains_contrastive(store_and_root):
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "siamese", loss="contrastive")
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    T = cfg.data.model_length
+    x = jnp.zeros((1, T, 1))
+    state = _init(model, cfg, (x, x))
+    step, _ = steps_mod.make_siamese_train_step(model, cfg)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(40):
+        state, metrics = step(state, store, key)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), "contrastive loss flat"
+
+
+def test_train_step_determinism(store_and_root):
+    """Same seed ⇒ identical metrics (SURVEY.md §5 race-detection rebuild:
+    double-execution determinism check)."""
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+
+    def run():
+        state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+        step, _ = steps_mod.make_classifier_train_step(model, cfg)
+        key = jax.random.PRNGKey(123)
+        out = []
+        for _ in range(5):
+            state, m = step(state, store, key)
+            out.append(float(m["loss"]))
+        return out
+
+    np.testing.assert_array_equal(run(), run())
+
+
+def test_embed_table_deterministic(store_and_root):
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+    state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+    t1 = nshot.embed_all(model, state, store, cfg, batch_size=16)
+    t2 = nshot.embed_all(model, state, store, cfg, batch_size=32)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)

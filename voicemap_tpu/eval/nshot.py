@@ -1,0 +1,191 @@
+"""Batched n-shot k-way speaker-identification evaluation.
+
+TPU-native rebuild of the reference's evaluation (reference:
+``voicemap/utils.py :: n_shot_task_evaluation`` — SURVEY.md §3.4), whose hot
+loop ran 500 sequential Python tasks with k·n FLAC decodes and a device
+round-trip each. Here (BASELINE.json: "pairwise n-shot evaluation becomes a
+single batched matmul-distance kernel"):
+
+1. **Embed the whole evaluation corpus once** — deterministic fragments
+   (stochastic=False ⇒ embedding per utterance id is a pure function), chunked
+   through one jitted embed call → an (N, D) embedding table. This is also
+   BASELINE.json config #5's "batched embedding of the full speaker set".
+2. **Sample every task's indices on-device** (``ops.sampling.sample_nshot_tasks``;
+   true class at index 0, the reference's self-checking invariant).
+3. **One batched distance/score computation** over all tasks:
+   - classifier mode: squared-euclidean in matmul form (MXU) per task,
+     n>1 averaged per class, argmin over classes;
+   - siamese mode: verification-head scores in matrix form (lower ⇒ same,
+     argmin-consistent with the same=0 label convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..ops import distance as dist_ops
+from ..ops import sampling
+from ..train.steps import DeviceStore, fetch_batch
+from ..train.state import TrainState
+
+
+def embed_all(
+    model,
+    state: TrainState,
+    store: DeviceStore,
+    cfg: ExperimentConfig,
+    batch_size: int = 256,
+) -> jnp.ndarray:
+    """Embed every utterance in the store → (N, D) table (chunked, jitted)."""
+
+    @jax.jit
+    def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
+        x = fetch_batch(sto, indices, jax.random.PRNGKey(0), cfg, stochastic=False)
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        return model.apply(variables, x, train=False, method=model.embed)
+
+    N = store.labels.shape[0]
+    chunks = []
+    for start in range(0, N, batch_size):
+        # Static chunk shape: pad the final chunk by clamping indices.
+        idx = np.minimum(np.arange(start, start + batch_size), N - 1)
+        chunks.append(embed_chunk(state, store, jnp.asarray(idx)))
+    return jnp.concatenate(chunks, axis=0)[:N]
+
+
+@partial(jax.jit, static_argnames=("num_tasks", "n", "k"))
+def classifier_nshot_accuracy(
+    table: jnp.ndarray,
+    speaker_utts: jnp.ndarray,
+    speaker_counts: jnp.ndarray,
+    key: jax.Array,
+    num_tasks: int,
+    n: int,
+    k: int,
+) -> jnp.ndarray:
+    """Nearest-embedding n-shot accuracy from an embedding table.
+
+    Reference semantics: euclidean nearest neighbor on penultimate-layer
+    embeddings; n>1 averages distances per class (SURVEY.md §2.1).
+    """
+    tasks = sampling.sample_nshot_tasks(
+        key, speaker_utts, speaker_counts, num_tasks, n, k
+    )
+    q = table[tasks.query_idx]  # (tasks, D)
+    s = table[tasks.support_idx]  # (tasks, k, n, D)
+    # Batched squared euclidean in matmul form: ‖q‖² + ‖s‖² − 2 q·s.
+    qn = jnp.sum(q * q, axis=-1)[:, None, None]
+    sn = jnp.sum(s * s, axis=-1)
+    cross = jnp.einsum("td,tknd->tkn", q, s, preferred_element_type=jnp.float32)
+    dist = qn + sn - 2.0 * cross  # (tasks, k, n)
+    class_dist = dist.mean(axis=-1)  # (tasks, k)
+    pred = jnp.argmin(class_dist, axis=-1)
+    return jnp.mean((pred == 0).astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("num_tasks", "n", "k", "metric"))
+def siamese_nshot_accuracy(
+    table: jnp.ndarray,
+    head_w: jnp.ndarray,
+    head_b: jnp.ndarray,
+    speaker_utts: jnp.ndarray,
+    speaker_counts: jnp.ndarray,
+    key: jax.Array,
+    num_tasks: int,
+    n: int,
+    k: int,
+    metric: str = "uniform_euclidean",
+) -> jnp.ndarray:
+    """Verification-head n-shot accuracy (argmin of head logits).
+
+    Matrix form of the reference's ``model.predict([tile(query, k·n),
+    support])`` + argmin loop. ``head_w``/``head_b`` are the Dense(1) params.
+    """
+    tasks = sampling.sample_nshot_tasks(
+        key, speaker_utts, speaker_counts, num_tasks, n, k
+    )
+    q = table[tasks.query_idx]  # (tasks, D)
+    s = table[tasks.support_idx].reshape(num_tasks, k * n, -1)  # (tasks, kn, D)
+    w = head_w.reshape(-1)
+    if metric == "weighted_l1":
+        diff = jnp.abs(q[:, None, :] - s)  # (tasks, kn, D)
+        scores = jnp.einsum("tpd,d->tp", diff, w) + head_b
+    elif metric == "uniform_l1":
+        d = jnp.sum(jnp.abs(q[:, None, :] - s), axis=-1)
+        scores = d * w[0] + head_b
+    elif metric == "uniform_euclidean":
+        d = jnp.sqrt(jnp.sum(jnp.square(q[:, None, :] - s), axis=-1) + 1e-12)
+        scores = d * w[0] + head_b
+    elif metric == "dot_product":
+        d = jnp.einsum("td,tpd->tp", q, s, preferred_element_type=jnp.float32)
+        scores = d * w[0] + head_b
+    elif metric == "cosine_distance":
+        qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        sn = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+        d = 1.0 - jnp.einsum("td,tpd->tp", qn, sn)
+        scores = d * w[0] + head_b
+    else:
+        raise ValueError(metric)
+    class_scores = dist_ops.class_distances(scores, n, k)  # (tasks, k)
+    pred = jnp.argmin(class_scores, axis=-1)
+    return jnp.mean((pred == 0).astype(jnp.float32))
+
+
+def evaluate(
+    model,
+    state: TrainState,
+    store: DeviceStore,
+    cfg: ExperimentConfig,
+    key: jax.Array,
+    num_tasks: Optional[int] = None,
+    n: Optional[int] = None,
+    k: Optional[int] = None,
+    embed_batch: int = 256,
+) -> float:
+    """Full n-shot evaluation: embed table once, score all tasks at once."""
+    t = cfg.train
+    num_tasks = num_tasks or t.num_eval_tasks
+    n = n or t.n_shot
+    k = k or t.k_way
+    counts = np.asarray(store.speaker_counts)
+    if k > counts.shape[0]:
+        raise ValueError(
+            f"k_way={k} exceeds the {counts.shape[0]} speakers in the eval store"
+        )
+    if int(counts.min()) < n + 1:
+        raise ValueError(
+            f"n_shot={n} needs ≥{n + 1} utterances per speaker; "
+            f"minimum in the eval store is {int(counts.min())}"
+        )
+    table = embed_all(model, state, store, cfg, batch_size=embed_batch)
+    if cfg.mode == "siamese" and cfg.siamese.distance_metric in dist_ops.SIAMESE_METRICS:
+        head = state.params["head"]
+        acc = siamese_nshot_accuracy(
+            table,
+            head["kernel"],
+            head["bias"][0],
+            store.speaker_utts,
+            store.speaker_counts,
+            key,
+            num_tasks,
+            n,
+            k,
+            metric=cfg.siamese.distance_metric,
+        )
+    else:
+        acc = classifier_nshot_accuracy(
+            table,
+            store.speaker_utts,
+            store.speaker_counts,
+            key,
+            num_tasks,
+            n,
+            k,
+        )
+    return float(acc)

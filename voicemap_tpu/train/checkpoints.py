@@ -1,0 +1,66 @@
+"""Orbax checkpointing: params + opt_state + step + lr, with auto-resume and
+a best-by-n-shot-accuracy export policy.
+
+Rebuild of the reference's ``ModelCheckpoint(monitor='val_1-shot_acc',
+mode='max', save_best_only)`` → ``models/*.hdf5`` (SURVEY.md §5
+"Checkpoint / resume") — extended with full optimizer-state resume, which the
+reference lacked.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "latest"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+        self._best_mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        self.best_metric: Optional[float] = None
+
+    def save(self, state: TrainState) -> None:
+        step = int(state.step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def save_best(self, state: TrainState, metric: float) -> bool:
+        """Keep only the best-by-metric state (mode='max'). Returns True if saved."""
+        if self.best_metric is None or metric > self.best_metric:
+            self.best_metric = metric
+            self._best_mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+            return True
+        return False
+
+    def restore_latest(self, template: TrainState) -> Optional[TrainState]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def restore_best(self, template: TrainState) -> Optional[TrainState]:
+        step = self._best_mgr.latest_step()
+        if step is None:
+            return None
+        return self._best_mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+        self._best_mgr.wait_until_finished()
+
+    def close(self):
+        self.wait()
+        self._mgr.close()
+        self._best_mgr.close()

@@ -1,0 +1,145 @@
+"""High-level training loop: build → fused steps → periodic n-shot eval →
+plateau LR → checkpoints → JSONL metrics.
+
+Rebuild of the reference experiment flow (reference:
+``experiments/train_siamese_net.py`` — SURVEY.md §3.1): the
+``fit_generator(callbacks=[NShotEvaluationCallback, CSVLogger,
+ModelCheckpoint, ReduceLROnPlateau])`` loop becomes an explicit host loop over
+one fused on-device step, with the same periodic n-shot evaluation gating the
+best-model checkpoint and the LR schedule.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..data.dataset import SpeakerDataset, dataset_from_config
+from ..eval import nshot
+from ..models.classifier import SpeakerClassifier
+from ..models.siamese import SiameseNet
+from . import steps as steps_mod
+from .metrics import JSONLWriter, PlateauScheduler
+from .state import TrainState, init_state, make_optimizer
+
+
+def build_model(cfg: ExperimentConfig, num_classes: int):
+    if cfg.mode == "classifier":
+        return SpeakerClassifier(cfg.encoder, num_classes=num_classes)
+    if cfg.mode == "siamese":
+        return SiameseNet(cfg.encoder, cfg.siamese)
+    if cfg.mode == "melspec2d":
+        from ..models.spectrogram import MelSpecClassifier
+
+        return MelSpecClassifier(cfg.encoder, cfg.mel, num_classes=num_classes)
+    raise ValueError(cfg.mode)
+
+
+def init_model_state(model, cfg: ExperimentConfig) -> TrainState:
+    T = cfg.data.model_length
+    x = jnp.zeros((1, T, 1), jnp.float32)
+    if cfg.mode == "siamese":
+        variables = model.init(jax.random.PRNGKey(cfg.train.seed), x, x, train=False)
+    else:
+        variables = model.init(jax.random.PRNGKey(cfg.train.seed), x, train=False)
+    tx = make_optimizer(cfg.train.clipnorm)
+    return init_state(
+        variables["params"], variables["batch_stats"], tx, cfg.train.learning_rate
+    )
+
+
+def make_step(model, cfg: ExperimentConfig):
+    if cfg.mode == "siamese":
+        return steps_mod.make_siamese_train_step(model, cfg)
+    return steps_mod.make_classifier_train_step(model, cfg)
+
+
+def fit(
+    cfg: ExperimentConfig,
+    max_store_seconds: Optional[float] = 30.0,
+    verbose: bool = True,
+) -> Tuple[TrainState, List[Dict[str, Any]]]:
+    """Run one experiment end-to-end. Returns (final state, history)."""
+    t = cfg.train
+    train_ds = dataset_from_config(cfg.data)
+    store = steps_mod.DeviceStore.from_host(train_ds.to_store(max_store_seconds))
+    if cfg.data.val_subsets:
+        import dataclasses
+
+        val_cfg = dataclasses.replace(
+            cfg.data, subsets=cfg.data.val_subsets, stochastic=False
+        )
+        val_ds = dataset_from_config(val_cfg)
+        val_store = steps_mod.DeviceStore.from_host(val_ds.to_store(max_store_seconds))
+    else:
+        val_store = store
+
+    model = build_model(cfg, num_classes=train_ds.num_speakers)
+    state = init_model_state(model, cfg)
+    step, _tx = make_step(model, cfg)
+
+    ckpt = None
+    if t.checkpoint_dir:
+        from .checkpoints import CheckpointManager
+
+        ckpt = CheckpointManager(t.checkpoint_dir)
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            if verbose:
+                print(f"resumed from step {int(state.step)}")
+
+    log = JSONLWriter(t.log_path)
+    plateau = PlateauScheduler(
+        float(state.lr), t.plateau_factor, t.plateau_patience, t.min_lr
+    )
+    key = jax.random.PRNGKey(t.seed)
+    history: List[Dict[str, Any]] = []
+    t_last = time.time()
+    steps_since = 0
+    start_step = int(state.step)
+
+    for i in range(start_step, t.num_steps):
+        state, m = step(state, store, key)
+        steps_since += 1
+        if (i + 1) % t.evaluate_every == 0 or (i + 1) == t.num_steps:
+            jax.block_until_ready(m["loss"])
+            dt = time.time() - t_last
+            utt_per_s = steps_since * t.batch_size / max(dt, 1e-9)
+            acc = nshot.evaluate(
+                model,
+                state,
+                val_store,
+                cfg,
+                jax.random.fold_in(jax.random.PRNGKey(t.seed + 1), i),
+                num_tasks=t.num_eval_tasks,
+                n=t.n_shot,
+                k=t.k_way,
+            )
+            new_lr = plateau.update(acc)
+            state = state.replace(lr=jnp.asarray(new_lr, jnp.float32))
+            rec = log.write(
+                i + 1,
+                loss=m["loss"],
+                accuracy=m["accuracy"],
+                **{f"val_{t.n_shot}-shot_acc": acc},
+                lr=new_lr,
+                utterances_per_sec=utt_per_s,
+            )
+            history.append(rec)
+            if verbose:
+                print(rec)
+            if ckpt:
+                ckpt.save(state)
+                ckpt.save_best(state, acc)
+            t_last = time.time()
+            steps_since = 0
+
+    if ckpt:
+        ckpt.wait()
+    log.close()
+    return state, history

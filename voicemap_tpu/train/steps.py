@@ -1,0 +1,194 @@
+"""Fused on-device train/eval steps.
+
+The TPU-native answer to the reference's ``fit_generator`` +
+multiprocessing-worker pipeline (SURVEY.md §3.1 hot loops #1 and #2): one
+compiled XLA program per step that performs **sampling → fragment gather →
+decimate/whiten → forward → loss → backward → Adam update** with zero host
+involvement beyond the PRNG key fold-in. The corpus lives on-device as an
+int16 store (``DeviceStore``); host ↔ device traffic per step is O(1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..data.dataset import AudioStore
+from ..ops import preprocess, sampling
+from . import losses
+from .state import TrainState, apply_updates, make_optimizer
+
+
+class DeviceStore(NamedTuple):
+    """AudioStore shipped to device memory (or sharded across a mesh)."""
+
+    audio: jnp.ndarray  # (N, T_store) int16
+    lengths: jnp.ndarray  # (N,) int32
+    labels: jnp.ndarray  # (N,) int32
+    speaker_utts: jnp.ndarray  # (S, max_utt) int32
+    speaker_counts: jnp.ndarray  # (S,) int32
+
+    @classmethod
+    def from_host(cls, store: AudioStore, device=None) -> "DeviceStore":
+        put = partial(jax.device_put, device=device)
+        return cls(
+            audio=put(store.audio),
+            lengths=put(store.lengths),
+            labels=put(store.labels),
+            speaker_utts=put(store.speaker_utts),
+            speaker_counts=put(store.speaker_counts),
+        )
+
+
+def fetch_batch(
+    store: DeviceStore,
+    indices: jnp.ndarray,
+    key: jax.Array,
+    cfg: ExperimentConfig,
+    stochastic: bool = True,
+) -> jnp.ndarray:
+    """indices → preprocessed model inputs (B, T_model, 1)."""
+    d = cfg.data
+    frag = d.fragment_length
+    offsets = preprocess.sample_offsets(
+        key, store.lengths[indices], frag, stochastic=stochastic
+    )
+    rows = preprocess.gather_fragments(store.audio, indices, offsets, frag)
+    rows = rows.astype(jnp.float32) * preprocess.INT16_SCALE
+    rows = preprocess.stride_decimate(rows, d.downsampling)
+    if d.whiten_rms is not None:
+        rows = preprocess.whiten(rows, d.whiten_rms, d.whiten_eps)
+    return rows[..., None]
+
+
+def classifier_loss_fn(model):
+    """Shared by the single-chip and data-parallel train steps."""
+
+    def loss_fn(params, batch_stats, x, y, dropout_key):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+        loss = losses.softmax_ce(out, y)
+        acc = losses.categorical_accuracy(out, y)
+        return loss, (mut["batch_stats"], acc)
+
+    return loss_fn
+
+
+def siamese_loss_fn(model, cfg: ExperimentConfig):
+    """Shared by the single-chip and data-parallel train steps."""
+    same_label = cfg.siamese.same_label
+    use_contrastive = cfg.train.loss == "contrastive"
+    margin = cfg.train.contrastive_margin
+
+    def loss_fn(params, batch_stats, x1, x2, y, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if use_contrastive:
+            # Contrastive loss acts on embedding euclidean distances.
+            Bsz = x1.shape[0]
+            stacked = jnp.concatenate([x1, x2], axis=0)
+            emb, mut = model.apply(
+                variables,
+                stacked,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+                method=model.embed,
+            )
+            d = jnp.sqrt(
+                jnp.sum(jnp.square(emb[:Bsz] - emb[Bsz:]), axis=-1) + 1e-12
+            )
+            loss = losses.contrastive(d, y, margin=margin, same_label=same_label)
+            acc = jnp.mean(((d > margin / 2).astype(jnp.float32)) == y)
+        else:
+            logits, mut = model.apply(
+                variables,
+                x1,
+                x2,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+            loss = losses.bce_with_logits(logits, y)
+            acc = losses.binary_accuracy(logits, y)
+        return loss, (mut["batch_stats"], acc)
+
+    return loss_fn
+
+
+def make_classifier_train_step(
+    model, cfg: ExperimentConfig
+) -> Tuple[Callable, Any]:
+    """Returns (jitted step, optax tx). Step: (state, store, key) → (state, metrics)."""
+    tx = make_optimizer(cfg.train.clipnorm)
+    B = cfg.train.batch_size
+    loss_fn = classifier_loss_fn(model)
+
+    @jax.jit
+    def step(state: TrainState, store: DeviceStore, key: jax.Array):
+        k_idx, k_off, k_drop = jax.random.split(
+            jax.random.fold_in(key, state.step), 3
+        )
+        idx = sampling.sample_classifier_batch(k_idx, store.labels.shape[0], B)
+        x = fetch_batch(store, idx, k_off, cfg, stochastic=cfg.data.stochastic)
+        y = store.labels[idx]
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, k_drop
+        )
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step, tx
+
+
+def make_siamese_train_step(
+    model, cfg: ExperimentConfig
+) -> Tuple[Callable, Any]:
+    """Siamese verification step: BCE (default) or contrastive loss.
+
+    Reference: ``experiments/train_siamese_net.py`` training flow
+    (SURVEY.md §3.1); pair sampling is the on-device
+    ``sample_verification_batch`` instead of forked generator workers.
+    """
+    tx = make_optimizer(cfg.train.clipnorm)
+    B = cfg.train.batch_size
+    same_label = cfg.siamese.same_label
+    loss_fn = siamese_loss_fn(model, cfg)
+
+    @jax.jit
+    def step(state: TrainState, store: DeviceStore, key: jax.Array):
+        k_pair, k_off1, k_off2, k_drop = jax.random.split(
+            jax.random.fold_in(key, state.step), 4
+        )
+        batch = sampling.sample_verification_batch(
+            k_pair, store.speaker_utts, store.speaker_counts, B, same_label
+        )
+        x1 = fetch_batch(store, batch.idx_1, k_off1, cfg, cfg.data.stochastic)
+        x2 = fetch_batch(store, batch.idx_2, k_off2, cfg, cfg.data.stochastic)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x1, x2, batch.labels, k_drop
+        )
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step, tx
+
+
+def make_embed_fn(model, cfg: ExperimentConfig) -> Callable:
+    """Jitted (state, store, indices, key) → embeddings, via the fused pipeline."""
+
+    @jax.jit
+    def embed(state: TrainState, store: DeviceStore, indices: jnp.ndarray, key):
+        x = fetch_batch(store, indices, key, cfg, stochastic=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, x, train=False, method=model.embed)
+
+    return embed
