@@ -44,6 +44,7 @@ def parse_args():
                    help="generate a synthetic corpus under --data-root first")
     p.add_argument("--synthetic-speakers", type=int, default=20)
     p.add_argument("--synthetic-utterances", type=int, default=10)
+    p.add_argument("--synthetic-container", default="wav", choices=["wav", "flac"])
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--profile", default=None,
                    help="trace N eval-interval steps to this TensorBoard logdir")
@@ -58,6 +59,7 @@ def main():
         spec = synthetic.SyntheticSpec(
             n_speakers=args.synthetic_speakers,
             utterances_per_speaker=args.synthetic_utterances,
+            container=args.synthetic_container,
         )
         subsets = list(args.subsets) + list(args.val_subsets or [])
         synthetic.generate_corpus(args.data_root, subsets=subsets, spec=spec)
