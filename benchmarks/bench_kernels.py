@@ -1,0 +1,138 @@
+"""Kernel microbenchmarks on the attached accelerator: jnp vs Pallas variants.
+
+Run: ``python benchmarks/bench_kernels.py`` (TPU). Verifies compiled-mode
+parity against the jnp reference first, then times each variant. Used to pick
+the production preprocessing variant (see ops/pallas_preprocess.py).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voicemap_tpu.ops import distance as dist_ops
+from voicemap_tpu.ops import melspec
+from voicemap_tpu.ops import preprocess
+from voicemap_tpu.ops.pallas_distance import pallas_l1
+from voicemap_tpu.ops.pallas_melspec import pallas_log_mel
+from voicemap_tpu.ops.pallas_preprocess import (
+    pad_store,
+    pallas_preprocess,
+    quantize_offsets,
+)
+
+
+def timeit(fn, *args, iters=30, warmup=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_preprocess():
+    rng = np.random.default_rng(0)
+    N, T_store = 2048, 96000  # 6 s @ 16 kHz store rows
+    B, frag, ds = 256, 48000, 4
+    store_raw = jnp.asarray(rng.integers(-30000, 30000, (N, T_store), dtype=np.int16))
+    store = pad_store(store_raw)
+    idx = jnp.asarray(rng.integers(0, N, B).astype(np.int32))
+    offs = quantize_offsets(
+        jnp.asarray(rng.integers(0, T_store - frag, B).astype(np.int32))
+    )
+
+    @jax.jit
+    def jnp_chain(store, idx, offs):
+        rows = preprocess.gather_fragments(store, idx, offs, frag)
+        rows = rows.astype(jnp.float32) * (1.0 / 32768.0)
+        rows = preprocess.stride_decimate(rows, ds)
+        return preprocess.whiten(rows)[..., None]
+
+    ref = np.asarray(jnp_chain(store, idx, offs))
+    results = {"jnp": timeit(jnp_chain, store, idx, offs)}
+
+    def f(store, idx, offs):
+        return pallas_preprocess(store, idx, offs, frag, ds)
+
+    out = np.asarray(f(store, idx, offs))
+    err = np.max(np.abs(out - ref))
+    print(f"preprocess[pallas raw] max|Δ| vs jnp = {err:.2e}")
+    results["pallas_raw"] = timeit(f, store, idx, offs)
+
+    # Fast path: once-decimated store, fully fused gather+whiten.
+    from voicemap_tpu.ops.pallas_preprocess import decimate_store
+
+    store_ds = decimate_store(store_raw, ds)
+    offs_al = (offs // (128 * ds)) * (128 * ds)  # comparable grid
+
+    def g(store_ds, idx, offs):
+        return pallas_preprocess(store_ds, idx, offs, frag, ds,
+                                 store_predecimated=True)
+
+    ref2 = np.asarray(jnp_chain(store, idx, offs_al))
+    out2 = np.asarray(g(store_ds, idx, offs_al))
+    print(f"preprocess[pallas predec] max|Δ| vs jnp = {np.max(np.abs(out2 - ref2)):.2e}")
+    results["pallas_predecimated"] = timeit(g, store_ds, idx, offs_al)
+
+    bw = B * frag * 2 / 1e9
+    for k, v in results.items():
+        print(f"preprocess[{k}]: {v * 1e3:.3f} ms  ({bw / v:.1f} GB/s raw-window equiv)")
+    return results
+
+
+def bench_melspec():
+    from voicemap_tpu.config import MelConfig
+
+    cfg = MelConfig()
+    rng = np.random.default_rng(2)
+    B, T = 64, 48000
+    x = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
+    jnp_mel = jax.jit(lambda x: melspec.log_mel_spectrogram(x, cfg, 16000))
+    ref = np.asarray(jnp_mel(x))
+    out = np.asarray(pallas_log_mel(x, cfg, 16000))
+    print(f"melspec max|Δ| vs jnp = {np.max(np.abs(out - ref)):.2e}")
+    t_jnp = timeit(jnp_mel, x)
+    t_pl = timeit(lambda x: pallas_log_mel(x, cfg, 16000), x)
+    print(f"melspec[jnp rfft]: {t_jnp * 1e3:.3f} ms | melspec[pallas dft-matmul]: "
+          f"{t_pl * 1e3:.3f} ms  (B={B}, T={T})")
+    return {"jnp": t_jnp, "pallas": t_pl}
+
+
+def bench_l1(nq=512, ns=2048, d=64):
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((nq, d)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((ns, d)), jnp.float32)
+
+    jnp_l1 = jax.jit(dist_ops.pairwise_l1)
+    ref = np.asarray(jnp_l1(q, s))
+    out = np.asarray(pallas_l1(q, s))
+    print(f"l1 max|Δ| vs jnp = {np.max(np.abs(out - ref)):.2e}")
+    t_jnp = timeit(jnp_l1, q, s)
+    t_pl = timeit(lambda q, s: pallas_l1(q, s), q, s)
+    print(f"l1[jnp broadcast]: {t_jnp * 1e3:.3f} ms | l1[pallas tiled]: {t_pl * 1e3:.3f} ms "
+          f"({nq}x{ns}x{d})")
+    return {"jnp": t_jnp, "pallas": t_pl}
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("parts", nargs="*", default=["preprocess", "l1", "melspec"])
+    a = ap.parse_args()
+    print("backend:", jax.default_backend(), flush=True)
+    if "preprocess" in a.parts:
+        bench_preprocess()
+    if "l1" in a.parts:
+        bench_l1()
+    if "melspec" in a.parts:
+        bench_melspec()

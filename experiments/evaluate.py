@@ -1,0 +1,103 @@
+"""Standalone n-shot k-way speaker-identification evaluation.
+
+Rebuild of the reference's evaluation protocol (reference:
+``voicemap/utils.py :: n_shot_task_evaluation`` — 500 sequential Python
+tasks) as a batched entry point: restore a checkpoint (or evaluate a random
+init), embed the whole subset once, score every task in one compiled call.
+Reports accuracy with the Monte-Carlo stderr (SURVEY.md §7 hard part #5).
+"""
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from voicemap_tpu import config as C
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-root", default=C.DATA_PATH)
+    p.add_argument("--subsets", nargs="+", default=["dev-clean"])
+    p.add_argument("--mode", default="classifier",
+                   choices=["classifier", "siamese", "melspec2d"])
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="restore best (or latest) state from this dir")
+    p.add_argument("--which", default="best", choices=["best", "latest"])
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--downsampling", type=int, default=4)
+    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--embedding-dim", type=int, default=64)
+    p.add_argument("--distance-metric", default="uniform_euclidean")
+    p.add_argument("--num-tasks", type=int, default=500)
+    p.add_argument("--n-shot", type=int, default=1)
+    p.add_argument("--k-way", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--max-store-seconds", type=float, default=30.0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from voicemap_tpu.data.dataset import dataset_from_config
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import build_model, init_model_state
+
+    cfg = C.ExperimentConfig(
+        mode=args.mode,
+        data=C.DataConfig(
+            data_root=args.data_root,
+            subsets=tuple(args.subsets),
+            seconds=args.seconds,
+            downsampling=args.downsampling,
+            stochastic=False,
+        ),
+        encoder=C.EncoderConfig(
+            filters=args.filters,
+            embedding_dim=args.embedding_dim,
+            compute_dtype=args.compute_dtype,
+        ),
+        siamese=C.SiameseConfig(distance_metric=args.distance_metric),
+        train=C.TrainConfig(
+            num_eval_tasks=args.num_tasks, n_shot=args.n_shot, k_way=args.k_way,
+        ),
+    )
+    ds = dataset_from_config(cfg.data)
+    store = steps_mod.DeviceStore.from_host(ds.to_store(args.max_store_seconds))
+    model = build_model(cfg, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+
+    if args.checkpoint_dir:
+        from voicemap_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = (
+            mgr.restore_best(state) if args.which == "best"
+            else mgr.restore_latest(state)
+        )
+        if restored is None:
+            raise SystemExit(f"no {args.which} checkpoint under {args.checkpoint_dir}")
+        state = restored
+        print(f"restored {args.which} checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: evaluating an untrained (random-init) model")
+
+    acc = nshot.evaluate(
+        model, state, store, cfg, jax.random.PRNGKey(args.seed),
+        num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way,
+    )
+    stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / args.num_tasks)
+    print(
+        f"{args.n_shot}-shot {args.k_way}-way accuracy over {args.num_tasks} tasks "
+        f"on {args.subsets}: {acc:.4f} ± {stderr:.4f} (1σ)"
+    )
+
+
+if __name__ == "__main__":
+    main()

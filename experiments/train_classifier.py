@@ -36,10 +36,14 @@ def parse_args():
     p.add_argument("--k-way", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--pallas-preprocess", action="store_true",
+                   help="fused Pallas gather+whiten over a pre-decimated device store (TPU)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-path", default=None)
     p.add_argument("--dilated", action="store_true",
                    help="use the deeper dilated conv stack (BASELINE config #3)")
+    p.add_argument("--melspec", action="store_true",
+                   help="log-mel frontend + 2D-CNN embedder (BASELINE config #4)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic corpus under --data-root first")
     p.add_argument("--synthetic-speakers", type=int, default=20)
@@ -81,15 +85,16 @@ def main():
             compute_dtype=args.compute_dtype,
         )
 
+    mode = "melspec2d" if args.melspec else "classifier"
     cfg = C.ExperimentConfig(
-        name="classifier",
-        mode="classifier",
+        name=mode,
+        mode=mode,
         data=C.DataConfig(
             data_root=args.data_root,
             subsets=tuple(args.subsets),
             val_subsets=tuple(args.val_subsets) if args.val_subsets else None,
             seconds=args.seconds,
-            downsampling=args.downsampling,
+            downsampling=1 if args.melspec else args.downsampling,
         ),
         encoder=enc,
         train=C.TrainConfig(
@@ -101,6 +106,7 @@ def main():
             n_shot=args.n_shot,
             k_way=args.k_way,
             seed=args.seed,
+            use_pallas_preprocess=args.pallas_preprocess,
             checkpoint_dir=args.checkpoint_dir,
             log_path=args.log_path
             or os.path.join("logs", "classifier", "metrics.jsonl"),

@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--k-way", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--pallas-preprocess", action="store_true",
+                   help="fused Pallas gather+whiten over a pre-decimated device store (TPU)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -92,6 +94,7 @@ def main():
             n_shot=args.n_shot,
             k_way=args.k_way,
             seed=args.seed,
+            use_pallas_preprocess=args.pallas_preprocess,
             checkpoint_dir=args.checkpoint_dir,
             log_path=args.log_path or os.path.join("logs", "siamese", "metrics.jsonl"),
         ),

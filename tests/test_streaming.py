@@ -1,0 +1,119 @@
+"""Streaming host→device pipeline tests (data/pipeline.py): batch shapes,
+pair-label layout, decode-cache behavior, determinism, and a short
+streaming-mode training run through fit()."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from voicemap_tpu.config import (
+    DataConfig, EncoderConfig, ExperimentConfig, SiameseConfig, TrainConfig,
+)
+from voicemap_tpu.data.dataset import SpeakerDataset
+from voicemap_tpu.data.pipeline import DecodeCache, StreamingPipeline
+
+
+def _cfg(corpus_root, mode="classifier", batch_size=8):
+    return ExperimentConfig(
+        mode=mode,
+        data=DataConfig(data_root=corpus_root, subsets=("dev-clean",),
+                        seconds=1.0, downsampling=4),
+        encoder=EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
+                              compute_dtype="float32"),
+        siamese=SiameseConfig(),
+        train=TrainConfig(batch_size=batch_size, learning_rate=3e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def ds(corpus_root):
+    return SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                          data_root=corpus_root, seed=0)
+
+
+def test_decode_cache(ds):
+    cache = DecodeCache(ds, max_bytes=1 << 20)
+    ids = np.asarray([0, 1, 2, 0, 1])
+    wavs = cache.get_many(ids)
+    assert len(wavs) == 5
+    np.testing.assert_array_equal(wavs[0], wavs[3])
+    np.testing.assert_array_equal(wavs[0], ds._decode(0))
+
+
+def test_decode_cache_eviction(ds):
+    tiny = DecodeCache(ds, max_bytes=1)  # evicts everything immediately
+    wavs = tiny.get_many(np.asarray([0, 1]))
+    assert len(wavs) == 2
+    assert tiny._bytes <= max(w.nbytes for w in wavs)
+
+
+def test_classifier_stream_batches(corpus_root, ds):
+    cfg = _cfg(corpus_root)
+    p = StreamingPipeline(ds, cfg, mode="classifier", seed=3)
+    try:
+        for _ in range(3):
+            frags, labels = next(p)
+            assert frags.shape == (8, cfg.data.fragment_length)
+            assert frags.dtype == np.int16
+            assert labels.shape == (8,)
+            assert labels.max() < ds.num_speakers
+    finally:
+        p.close()
+
+
+def test_siamese_stream_batches(corpus_root, ds):
+    cfg = _cfg(corpus_root, mode="siamese")
+    p = StreamingPipeline(ds, cfg, mode="siamese", seed=4)
+    try:
+        f1, f2, y = next(p)
+        assert f1.shape == f2.shape == (8, cfg.data.fragment_length)
+        np.testing.assert_array_equal(y[:4], 0.0)
+        np.testing.assert_array_equal(y[4:], 1.0)
+    finally:
+        p.close()
+
+
+def test_stream_deterministic(corpus_root, ds):
+    cfg = _cfg(corpus_root)
+
+    def first_batch(seed):
+        d = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                           data_root=corpus_root, seed=0)
+        p = StreamingPipeline(d, cfg, mode="classifier", seed=seed)
+        try:
+            return next(p)
+        finally:
+            p.close()
+
+    a1, l1 = first_batch(7)
+    a2, l2 = first_batch(7)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_fit_streaming_mode(corpus_root):
+    from voicemap_tpu.train.loop import fit
+
+    cfg = _cfg(corpus_root).replace(
+        train=TrainConfig(batch_size=8, learning_rate=3e-3, num_steps=12,
+                          evaluate_every=6, num_eval_tasks=50, k_way=3),
+    )
+    state, history = fit(cfg, pipeline="streaming", verbose=False)
+    assert len(history) == 2
+    assert int(state.step) == 12
+    assert np.isfinite(history[-1]["loss"])
+
+
+def test_producer_error_surfaces(corpus_root, ds):
+    cfg = _cfg(corpus_root)
+    p = StreamingPipeline(ds, cfg, mode="classifier", seed=1)
+    # Sabotage the cache to make the producer fail.
+    p.cache.get_many = None  # type: ignore
+    try:
+        with pytest.raises((RuntimeError, TypeError)):
+            for _ in range(10):
+                next(p)
+    finally:
+        p.close()

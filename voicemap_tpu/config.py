@@ -134,6 +134,10 @@ class TrainConfig:
     plateau_factor: float = 0.5
     plateau_patience: int = 3
     min_lr: float = 1e-5
+    # Use the fused Pallas gather+whiten kernel over a pre-decimated device
+    # store instead of the XLA gather chain (TPU only; offsets quantize to
+    # the 128-sample lane grid — see ops/pallas_preprocess.py).
+    use_pallas_preprocess: bool = False
     # Checkpointing (reference: ModelCheckpoint best-by-val_{n}-shot_acc)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 500
@@ -224,12 +228,19 @@ def dilated_4khz(**overrides) -> ExperimentConfig:
 
 
 def melspec_2d(**overrides) -> ExperimentConfig:
-    """configs[3]: log-mel frontend + 2D-CNN embedder."""
+    """configs[3]: log-mel frontend + 2D-CNN embedder.
+
+    Uses the TPU-native framing geometry (hop 128 = 8 ms, win 384 = 24 ms)
+    so the fully fused in-kernel-framing Pallas STFT+mel path engages; set
+    MelConfig(hop_length=160, win_length=400) for librosa-default framing
+    (pre-framed kernel path).
+    """
     cfg = ExperimentConfig(
         name="melspec_2d",
         mode="melspec2d",
         data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=1,
                         whiten_rms=DEFAULT_WHITEN_RMS),
+        mel=MelConfig(hop_length=128, win_length=384),
     )
     return cfg.replace(**overrides)
 

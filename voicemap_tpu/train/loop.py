@@ -16,6 +16,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ExperimentConfig
 from ..data.dataset import SpeakerDataset, dataset_from_config
@@ -62,11 +63,42 @@ def fit(
     cfg: ExperimentConfig,
     max_store_seconds: Optional[float] = 30.0,
     verbose: bool = True,
+    pipeline: str = "auto",  # auto | device | streaming
+    streaming_threshold_bytes: int = 4 << 30,
 ) -> Tuple[TrainState, List[Dict[str, Any]]]:
-    """Run one experiment end-to-end. Returns (final state, history)."""
+    """Run one experiment end-to-end. Returns (final state, history).
+
+    ``pipeline='device'`` packs the whole corpus into HBM (fully fused
+    sample→gather→preprocess→update steps); ``'streaming'`` uses the
+    prefetched host pipeline (data/pipeline.py) for corpora too large for
+    HBM; ``'auto'`` picks by estimated store size.
+    """
     t = cfg.train
     train_ds = dataset_from_config(cfg.data)
-    store = steps_mod.DeviceStore.from_host(train_ds.to_store(max_store_seconds))
+    if pipeline == "auto":
+        cap = max_store_seconds or float(train_ds.df.seconds.max())
+        est = int(
+            np.minimum(train_ds.df.samples.values, cap * cfg.data.sample_rate).max()
+        ) * len(train_ds) * 2
+        pipeline = "streaming" if est > streaming_threshold_bytes else "device"
+        if verbose:
+            print(f"pipeline=auto → {pipeline} (est. store {est / 1e9:.2f} GB)")
+
+    stream = None
+    store = None
+    pallas_ds = cfg.data.downsampling if t.use_pallas_preprocess else 0
+    if pipeline == "device":
+        store = steps_mod.DeviceStore.from_host(
+            train_ds.to_store(max_store_seconds), pallas_downsampling=pallas_ds
+        )
+    else:
+        from ..data.pipeline import StreamingPipeline
+
+        stream = StreamingPipeline(
+            train_ds, cfg, mode=("siamese" if cfg.mode == "siamese" else "classifier"),
+            seed=t.seed,
+        )
+
     if cfg.data.val_subsets:
         import dataclasses
 
@@ -74,13 +106,26 @@ def fit(
             cfg.data, subsets=cfg.data.val_subsets, stochastic=False
         )
         val_ds = dataset_from_config(val_cfg)
-        val_store = steps_mod.DeviceStore.from_host(val_ds.to_store(max_store_seconds))
-    else:
+        val_store = steps_mod.DeviceStore.from_host(
+            val_ds.to_store(max_store_seconds), pallas_downsampling=pallas_ds
+        )
+    elif store is not None:
         val_store = store
+    else:
+        # Streaming without a val split: evaluate on a bounded sub-store.
+        val_store = steps_mod.DeviceStore.from_host(
+            train_ds.to_store(min(max_store_seconds or 30.0, 10.0)),
+            pallas_downsampling=pallas_ds,
+        )
 
     model = build_model(cfg, num_classes=train_ds.num_speakers)
     state = init_model_state(model, cfg)
-    step, _tx = make_step(model, cfg)
+    if pipeline == "device":
+        step, _tx = make_step(model, cfg)
+    elif cfg.mode == "siamese":
+        step, _tx = steps_mod.make_streaming_siamese_step(model, cfg)
+    else:
+        step, _tx = steps_mod.make_streaming_classifier_step(model, cfg)
 
     ckpt = None
     if t.checkpoint_dir:
@@ -104,7 +149,11 @@ def fit(
     start_step = int(state.step)
 
     for i in range(start_step, t.num_steps):
-        state, m = step(state, store, key)
+        if stream is not None:
+            batch = next(stream)
+            state, m = step(state, *[jnp.asarray(b) for b in batch], key)
+        else:
+            state, m = step(state, store, key)
         steps_since += 1
         if (i + 1) % t.evaluate_every == 0 or (i + 1) == t.num_steps:
             jax.block_until_ready(m["loss"])
@@ -141,5 +190,7 @@ def fit(
 
     if ckpt:
         ckpt.wait()
+    if stream is not None:
+        stream.close()
     log.close()
     return state, history

@@ -33,11 +33,27 @@ class DeviceStore(NamedTuple):
     speaker_counts: jnp.ndarray  # (S,) int32
 
     @classmethod
-    def from_host(cls, store: AudioStore, device=None) -> "DeviceStore":
+    def from_host(
+        cls, store: AudioStore, device=None, pallas_downsampling: int = 0
+    ) -> "DeviceStore":
+        """Ship the corpus to device memory.
+
+        ``pallas_downsampling`` > 0 prepares the store for the fused Pallas
+        kernel: decimated once by that factor and guard-padded
+        (ops/pallas_preprocess.decimate_store); lengths switch to decimated
+        units. Required when cfg.train.use_pallas_preprocess is on.
+        """
         put = partial(jax.device_put, device=device)
+        audio = jnp.asarray(store.audio)
+        lengths = jnp.asarray(store.lengths)
+        if pallas_downsampling:
+            from ..ops.pallas_preprocess import decimate_store
+
+            audio = decimate_store(audio, pallas_downsampling)
+            lengths = lengths // pallas_downsampling
         return cls(
-            audio=put(store.audio),
-            lengths=put(store.lengths),
+            audio=put(audio),
+            lengths=put(lengths),
             labels=put(store.labels),
             speaker_utts=put(store.speaker_utts),
             speaker_counts=put(store.speaker_counts),
@@ -51,8 +67,27 @@ def fetch_batch(
     cfg: ExperimentConfig,
     stochastic: bool = True,
 ) -> jnp.ndarray:
-    """indices → preprocessed model inputs (B, T_model, 1)."""
+    """indices → preprocessed model inputs (B, T_model, 1).
+
+    Dispatches to the fused Pallas gather+whiten kernel when
+    ``cfg.train.use_pallas_preprocess`` (the store must then have been built
+    with ``DeviceStore.from_host(..., pallas_downsampling=ds)``), else the
+    XLA gather→decimate→whiten chain.
+    """
     d = cfg.data
+    if cfg.train.use_pallas_preprocess:
+        from ..ops.pallas_preprocess import pallas_gather_whiten, quantize_offsets
+
+        t_out = d.model_length  # store is pre-decimated: lengths in ds units
+        offsets = preprocess.sample_offsets(
+            key, store.lengths[indices], t_out, stochastic=stochastic
+        )
+        offsets = quantize_offsets(offsets)
+        out = pallas_gather_whiten(
+            store.audio, indices.astype(jnp.int32), offsets, t_out,
+            d.whiten_rms, d.whiten_eps,
+        )
+        return out[..., None]
     frag = d.fragment_length
     offsets = preprocess.sample_offsets(
         key, store.lengths[indices], frag, stochastic=stochastic
@@ -175,6 +210,55 @@ def make_siamese_train_step(
         x2 = fetch_batch(store, batch.idx_2, k_off2, cfg, cfg.data.stochastic)
         (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, x1, x2, batch.labels, k_drop
+        )
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step, tx
+
+
+def preprocess_fragments(frags_i16: jnp.ndarray, cfg: ExperimentConfig) -> jnp.ndarray:
+    """(B, frag) int16 host-cut fragments → (B, T_model, 1) f32 (streaming path)."""
+    d = cfg.data
+    x = frags_i16.astype(jnp.float32) * preprocess.INT16_SCALE
+    x = preprocess.stride_decimate(x, d.downsampling)
+    if d.whiten_rms is not None:
+        x = preprocess.whiten(x, d.whiten_rms, d.whiten_eps)
+    return x[..., None]
+
+
+def make_streaming_classifier_step(model, cfg: ExperimentConfig):
+    """Train step for the host-streaming pipeline (data/pipeline.py):
+    (state, fragments (B, frag) int16, labels, key) → (state, metrics)."""
+    tx = make_optimizer(cfg.train.clipnorm)
+    loss_fn = classifier_loss_fn(model)
+
+    @jax.jit
+    def step(state: TrainState, frags: jnp.ndarray, y: jnp.ndarray, key):
+        k_drop = jax.random.fold_in(key, state.step)
+        x = preprocess_fragments(frags, cfg)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, k_drop
+        )
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return step, tx
+
+
+def make_streaming_siamese_step(model, cfg: ExperimentConfig):
+    """Siamese train step over host-streamed pair fragments."""
+    tx = make_optimizer(cfg.train.clipnorm)
+    loss_fn = siamese_loss_fn(model, cfg)
+
+    @jax.jit
+    def step(state: TrainState, f1: jnp.ndarray, f2: jnp.ndarray,
+             y: jnp.ndarray, key):
+        k_drop = jax.random.fold_in(key, state.step)
+        x1 = preprocess_fragments(f1, cfg)
+        x2 = preprocess_fragments(f2, cfg)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x1, x2, y, k_drop
         )
         new_state = apply_updates(state, grads, tx, new_bs)
         return new_state, {"loss": loss, "accuracy": acc}
