@@ -49,8 +49,14 @@ def make_model_and_params(compute_dtype: str):
     return model, variables
 
 
-def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5) -> dict:
-    """Fused on-device pipeline throughput on the attached accelerator."""
+def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5,
+                 use_pallas: bool = True) -> dict:
+    """Fused on-device pipeline throughput on the attached accelerator.
+
+    ``use_pallas`` routes preprocessing through the fused Pallas gather+whiten
+    kernel over a pre-decimated store (the production fast path — see
+    ops/pallas_preprocess.py); else the jnp/XLA chain.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -63,10 +69,26 @@ def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5) -> dic
     )
     offsets = jnp.asarray(rng.integers(0, STORE_T - FRAG, size=(batch_size,), dtype=np.int32))
 
-    @jax.jit
-    def embed(store, offsets):
-        x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
-        return model.apply(variables, x, train=False)
+    if use_pallas and jax.default_backend() == "tpu":
+        from voicemap_tpu.ops.pallas_preprocess import (
+            decimate_store, pallas_gather_whiten, quantize_offsets,
+        )
+
+        store = decimate_store(store, DOWNSAMPLING)
+        t_out = FRAG // DOWNSAMPLING
+        offsets = quantize_offsets(offsets // DOWNSAMPLING)
+        indices = jnp.arange(batch_size, dtype=jnp.int32)
+
+        @jax.jit
+        def embed(store, offsets):
+            x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
+            return model.apply(variables, x, train=False)
+    else:
+
+        @jax.jit
+        def embed(store, offsets):
+            x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
+            return model.apply(variables, x, train=False)
 
     out = embed(store, offsets)
     jax.block_until_ready(out)
@@ -79,14 +101,34 @@ def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5) -> dic
     dt = time.perf_counter() - t0
     utt_per_sec = batch_size * iters / dt
 
-    # p50 single-utterance embed latency (BASELINE.json metric 3).
+    # p50 single-utterance embed latency (BASELINE.json metric 3) — its own
+    # jitted program at batch 1 (the throughput fn bakes in batch indices).
     one_store = store[:1]
     one_off = offsets[:1]
-    jax.block_until_ready(embed(one_store, one_off))
+    if use_pallas and jax.default_backend() == "tpu":
+        from voicemap_tpu.ops.pallas_preprocess import pallas_gather_whiten
+
+        t_out = FRAG // DOWNSAMPLING
+        one_idx = jnp.zeros((1,), jnp.int32)
+
+        @jax.jit
+        def embed_one(store, offsets):
+            x = pallas_gather_whiten(
+                store, one_idx, offsets, t_out, block_rows=1
+            )[..., None]
+            return model.apply(variables, x, train=False)
+    else:
+
+        @jax.jit
+        def embed_one(store, offsets):
+            x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
+            return model.apply(variables, x, train=False)
+
+    jax.block_until_ready(embed_one(one_store, one_off))
     lats = []
     for _ in range(50):
         t0 = time.perf_counter()
-        jax.block_until_ready(embed(one_store, one_off))
+        jax.block_until_ready(embed_one(one_store, one_off))
         lats.append(time.perf_counter() - t0)
     p50_ms = statistics.median(lats) * 1e3
     return {"utt_per_sec": utt_per_sec, "p50_embed_ms": p50_ms,
@@ -131,6 +173,8 @@ def main():
                    help="measure the CPU reference-pipeline baseline instead")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the jnp/XLA preprocessing chain instead of the fused Pallas kernel")
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -141,7 +185,8 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    r = bench_device(args.batch_size or 256, args.iters or 30)
+    r = bench_device(args.batch_size or 256, args.iters or 30,
+                 use_pallas=not args.no_pallas)
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip",
         "value": round(r["utt_per_sec"], 2),

@@ -69,7 +69,7 @@ def main():
         ),
     )
     ds = dataset_from_config(cfg.data)
-    store = steps_mod.DeviceStore.from_host(ds.to_store(args.max_store_seconds))
+    store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
     model = build_model(cfg, num_classes=ds.num_speakers)
     state = init_model_state(model, cfg)
 

@@ -39,8 +39,10 @@ def parse_args():
     p.add_argument("--k-way", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
-    p.add_argument("--pallas-preprocess", action="store_true",
-                   help="fused Pallas gather+whiten over a pre-decimated device store (TPU)")
+    p.add_argument("--pallas-preprocess", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas gather+whiten over a pre-decimated device store "
+                        "(auto = on for TPU)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-path", default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -94,7 +96,8 @@ def main():
             n_shot=args.n_shot,
             k_way=args.k_way,
             seed=args.seed,
-            use_pallas_preprocess=args.pallas_preprocess,
+            use_pallas_preprocess=(None if args.pallas_preprocess == "auto"
+                                   else args.pallas_preprocess == "on"),
             checkpoint_dir=args.checkpoint_dir,
             log_path=args.log_path or os.path.join("logs", "siamese", "metrics.jsonl"),
         ),

@@ -220,3 +220,49 @@ def test_dp_grads_match_shardwise_average(mesh8, dp_store, corpus_root):
     flat_d = jax.tree.leaves(g_dp)
     for a, b in zip(flat_s, flat_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism
+# ---------------------------------------------------------------------------
+
+def test_tp_embed_head_matches_dense(mesh8):
+    from voicemap_tpu.parallel.tensor_parallel import make_tp_embed_head
+
+    r = np.random.default_rng(6)
+    x = jnp.asarray(r.standard_normal((4, 32)), jnp.float32)
+    w = jnp.asarray(r.standard_normal((32, 64)), jnp.float32)
+    b = jnp.asarray(r.standard_normal((64,)), jnp.float32)
+    head = make_tp_embed_head(mesh8, axis="data")
+    out = head(x, w, b)
+    expect = x @ w + b
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_tp_mlp_matches_dense(mesh8):
+    from voicemap_tpu.parallel.tensor_parallel import make_tp_mlp
+
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.standard_normal((4, 16)), jnp.float32)
+    w1 = jnp.asarray(r.standard_normal((16, 64)), jnp.float32)
+    b1 = jnp.asarray(r.standard_normal((64,)), jnp.float32)
+    w2 = jnp.asarray(r.standard_normal((64, 24)), jnp.float32)
+    b2 = jnp.asarray(r.standard_normal((24,)), jnp.float32)
+    mlp = make_tp_mlp(mesh8, axis="data")
+    out = mlp(x, w1, b1, w2, b2)
+    expect = jax.nn.relu(x @ w1 + b1) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4)
+
+
+def test_tp_on_2d_mesh():
+    """TP over the 'model' axis of a (data=4, model=2) mesh."""
+    from voicemap_tpu.parallel.tensor_parallel import make_tp_embed_head
+
+    mesh = mesh_mod.make_mesh({"data": 4, "model": 2})
+    r = np.random.default_rng(8)
+    x = jnp.asarray(r.standard_normal((2, 8)), jnp.float32)
+    w = jnp.asarray(r.standard_normal((8, 16)), jnp.float32)
+    b = jnp.asarray(r.standard_normal((16,)), jnp.float32)
+    out = make_tp_embed_head(mesh, axis="model")(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w + b),
+                               rtol=1e-4, atol=1e-4)

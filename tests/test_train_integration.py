@@ -156,3 +156,35 @@ def test_embed_table_deterministic(store_and_root):
     t1 = nshot.embed_all(model, state, store, cfg, batch_size=16)
     t2 = nshot.embed_all(model, state, store, cfg, batch_size=32)
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(store_and_root, tmp_path):
+    """Orbax save → restore returns identical state (params, opt, step, lr)."""
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+    state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+    step, _ = steps_mod.make_classifier_train_step(model, cfg)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, _m = step(state, store, key)
+
+    from voicemap_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(state)
+    assert mgr.save_best(state, 0.75)
+    assert not mgr.save_best(state, 0.60)  # worse metric must not overwrite
+    mgr.wait()
+
+    template = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+    restored = mgr.restore_latest(template)
+    assert restored is not None
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    best = mgr.restore_best(template)
+    assert int(best.step) == 3

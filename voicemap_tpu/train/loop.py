@@ -86,11 +86,8 @@ def fit(
 
     stream = None
     store = None
-    pallas_ds = cfg.data.downsampling if t.use_pallas_preprocess else 0
     if pipeline == "device":
-        store = steps_mod.DeviceStore.from_host(
-            train_ds.to_store(max_store_seconds), pallas_downsampling=pallas_ds
-        )
+        store = steps_mod.device_store_for(cfg, train_ds.to_store(max_store_seconds))
     else:
         from ..data.pipeline import StreamingPipeline
 
@@ -106,16 +103,13 @@ def fit(
             cfg.data, subsets=cfg.data.val_subsets, stochastic=False
         )
         val_ds = dataset_from_config(val_cfg)
-        val_store = steps_mod.DeviceStore.from_host(
-            val_ds.to_store(max_store_seconds), pallas_downsampling=pallas_ds
-        )
+        val_store = steps_mod.device_store_for(cfg, val_ds.to_store(max_store_seconds))
     elif store is not None:
         val_store = store
     else:
         # Streaming without a val split: evaluate on a bounded sub-store.
-        val_store = steps_mod.DeviceStore.from_host(
-            train_ds.to_store(min(max_store_seconds or 30.0, 10.0)),
-            pallas_downsampling=pallas_ds,
+        val_store = steps_mod.device_store_for(
+            cfg, train_ds.to_store(min(max_store_seconds or 30.0, 10.0))
         )
 
     model = build_model(cfg, num_classes=train_ds.num_speakers)

@@ -23,6 +23,14 @@ from . import losses
 from .state import TrainState, apply_updates, make_optimizer
 
 
+def resolve_pallas_preprocess(cfg: ExperimentConfig) -> bool:
+    """None = auto: the fused Pallas path on TPU, the XLA chain elsewhere."""
+    flag = cfg.train.use_pallas_preprocess
+    if flag is None:
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
 class DeviceStore(NamedTuple):
     """AudioStore shipped to device memory (or sharded across a mesh)."""
 
@@ -60,6 +68,13 @@ class DeviceStore(NamedTuple):
         )
 
 
+def device_store_for(cfg: ExperimentConfig, audio_store, device=None) -> "DeviceStore":
+    """Build a DeviceStore prepared consistently with the preprocessing mode
+    this config resolves to (pallas ⇒ pre-decimated + guard-padded store)."""
+    ds_factor = cfg.data.downsampling if resolve_pallas_preprocess(cfg) else 0
+    return DeviceStore.from_host(audio_store, device, pallas_downsampling=ds_factor)
+
+
 def fetch_batch(
     store: DeviceStore,
     indices: jnp.ndarray,
@@ -75,7 +90,7 @@ def fetch_batch(
     XLA gather→decimate→whiten chain.
     """
     d = cfg.data
-    if cfg.train.use_pallas_preprocess:
+    if resolve_pallas_preprocess(cfg):
         from ..ops.pallas_preprocess import pallas_gather_whiten, quantize_offsets
 
         t_out = d.model_length  # store is pre-decimated: lengths in ds units
