@@ -24,6 +24,7 @@ def parse_args():
     p.add_argument("--val-subsets", nargs="+", default=None)
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--downsampling", type=int, default=4)
+    p.add_argument("--label", default="speaker", choices=["speaker", "sex"])
     p.add_argument("--filters", type=int, default=128)
     p.add_argument("--embedding-dim", type=int, default=64)
     p.add_argument("--dropout", type=float, default=0.05)
@@ -97,6 +98,7 @@ def main():
             val_subsets=tuple(args.val_subsets) if args.val_subsets else None,
             seconds=args.seconds,
             downsampling=1 if args.melspec else args.downsampling,
+            label=args.label,
         ),
         encoder=enc,
         train=C.TrainConfig(

@@ -54,7 +54,7 @@ def main():
     )
     ds = dataset_from_config(cfg.data)
     store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
-    model = build_model(cfg, num_classes=ds.num_speakers)
+    model = build_model(cfg, num_classes=ds.num_classes())
     state = init_model_state(model, cfg)
     if args.checkpoint_dir:
         from voicemap_tpu.train.checkpoints import CheckpointManager

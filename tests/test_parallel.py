@@ -266,3 +266,47 @@ def test_tp_on_2d_mesh():
     out = make_tp_embed_head(mesh, axis="model")(x, w, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w + b),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (GPipe microbatching)
+# ---------------------------------------------------------------------------
+
+def _stage_dense(params, x):
+    w, b = params
+    return jax.nn.relu(x @ w + b)
+
+
+def test_gpipe_matches_sequential(mesh8):
+    from voicemap_tpu.parallel.pipeline_parallel import make_gpipe_fn
+
+    r = np.random.default_rng(9)
+    S, D, n_micro, mb = 8, 16, 6, 4
+    ws = jnp.asarray(r.standard_normal((S, D, D)) * 0.3, jnp.float32)
+    bs = jnp.asarray(r.standard_normal((S, D)) * 0.1, jnp.float32)
+    x = jnp.asarray(r.standard_normal((n_micro, mb, D)), jnp.float32)
+
+    pp = make_gpipe_fn(mesh8, _stage_dense, n_micro, axis="data")
+    out = pp((ws, bs), x)
+
+    expect = x
+    for s in range(S):
+        expect = jax.nn.relu(expect @ ws[s] + bs[s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gpipe_single_microbatch(mesh8):
+    from voicemap_tpu.parallel.pipeline_parallel import make_gpipe_fn
+
+    r = np.random.default_rng(10)
+    S, D = 8, 8
+    ws = jnp.asarray(r.standard_normal((S, D, D)) * 0.3, jnp.float32)
+    bs = jnp.zeros((S, D), jnp.float32)
+    x = jnp.asarray(r.standard_normal((1, 2, D)), jnp.float32)
+    out = make_gpipe_fn(mesh8, _stage_dense, 1, axis="data")((ws, bs), x)
+    expect = x
+    for s in range(S):
+        expect = jax.nn.relu(expect @ ws[s] + bs[s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)

@@ -112,7 +112,7 @@ def fit(
             cfg, train_ds.to_store(min(max_store_seconds or 30.0, 10.0))
         )
 
-    model = build_model(cfg, num_classes=train_ds.num_speakers)
+    model = build_model(cfg, num_classes=train_ds.num_classes())
     state = init_model_state(model, cfg)
     if pipeline == "device":
         step, _tx = make_step(model, cfg)
