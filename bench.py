@@ -49,7 +49,7 @@ def make_model_and_params(compute_dtype: str):
     return model, variables
 
 
-def bench_device(batch_size: int = 256, iters: int = 30, warmup: int = 5,
+def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
                  use_pallas: bool = True) -> dict:
     """Fused on-device pipeline throughput on the attached accelerator.
 
@@ -185,7 +185,7 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    r = bench_device(args.batch_size or 256, args.iters or 30,
+    r = bench_device(args.batch_size or 2048, args.iters or 20,
                  use_pallas=not args.no_pallas)
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip",

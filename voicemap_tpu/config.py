@@ -140,10 +140,10 @@ class TrainConfig:
     # the 128-sample lane grid — see ops/pallas_preprocess.py).
     # None = auto: on for the TPU backend, off elsewhere.
     use_pallas_preprocess: Optional[bool] = None
-    # Checkpointing (reference: ModelCheckpoint best-by-val_{n}-shot_acc)
+    # Checkpointing (reference: ModelCheckpoint best-by-val_{n}-shot_acc).
+    # Saves at every evaluation point; best-model selection is gated on the
+    # validation n-shot accuracy, like the reference.
     checkpoint_dir: Optional[str] = None
-    checkpoint_every: int = 500
-    keep_best_by: str = "nshot_acc"
     log_path: Optional[str] = None  # JSONL metrics
 
 

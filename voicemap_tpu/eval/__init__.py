@@ -1,0 +1,1 @@
+from . import nshot  # noqa: F401

@@ -1,0 +1,3 @@
+from .classifier import SpeakerClassifier  # noqa: F401
+from .encoder import ConvEncoder  # noqa: F401
+from .siamese import SiameseNet  # noqa: F401

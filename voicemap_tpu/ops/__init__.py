@@ -1,0 +1,1 @@
+from . import distance, melspec, preprocess, sampling  # noqa: F401

@@ -1,0 +1,8 @@
+from . import (  # noqa: F401
+    data_parallel,
+    halo_conv,
+    mesh,
+    pipeline_parallel,
+    sharded_distance,
+    tensor_parallel,
+)
