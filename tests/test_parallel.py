@@ -310,3 +310,69 @@ def test_gpipe_single_microbatch(mesh8):
         expect = jax.nn.relu(expect @ ws[s] + bs[s])
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pod-scale evaluation (config #5): sharded embedding + sharded task scoring
+# ---------------------------------------------------------------------------
+
+def test_pod_evaluate_matches_single_device(mesh8, dp_store, corpus_root):
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.parallel.pod_eval import pod_evaluate
+
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    key = jax.random.PRNGKey(11)
+    acc_pod = pod_evaluate(model, state, store, cfg, mesh8, key,
+                           num_tasks=160, n=1, k=3)
+    acc_single = nshot.evaluate(model, state, store, cfg, key,
+                                num_tasks=160, n=1, k=3, embed_batch=16)
+    # Same key ⇒ identical task sample ⇒ identical accuracy.
+    assert abs(acc_pod - acc_single) < 1e-6, (acc_pod, acc_single)
+
+
+def test_pod_sharded_embed_table_matches_dense(mesh8, dp_store, corpus_root):
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.parallel.pod_eval import make_sharded_embed_table_fn
+
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    N = int(store.labels.shape[0])
+    pad = (-N) % 8
+    idx = jnp.asarray(np.concatenate([np.arange(N), np.zeros(pad)]).astype(np.int32))
+    table = make_sharded_embed_table_fn(model, cfg, mesh8)(state, store, idx)[:N]
+    expect = nshot.embed_all(model, state, store, cfg, batch_size=16)
+    np.testing.assert_allclose(np.asarray(table), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gradients through the halo-exchange (sequence-parallel) encoder
+# ---------------------------------------------------------------------------
+
+def test_halo_encoder_grads_match_dense(mesh8):
+    """shard_map is differentiable: grads through ppermute halos == dense."""
+    model = ConvEncoder(ENC)
+    T = 2048
+    x = jnp.asarray(
+        np.random.default_rng(12).standard_normal((2, T, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def dense_loss(v):
+        return jnp.sum(model.apply(v, x, train=False) ** 2)
+
+    f = halo_conv.make_sharded_embed_fn(ENC, mesh8, axis="data")
+
+    def sharded_loss(v):
+        return jnp.sum(f(v, x) ** 2)
+
+    g1 = jax.grad(dense_loss)(variables)["params"]
+    g2 = jax.grad(sharded_loss)(variables)["params"]
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4)

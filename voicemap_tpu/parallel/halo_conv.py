@@ -113,9 +113,11 @@ def sharded_encoder_apply(
         if p_sz > 1:
             B, T, C = x.shape
             x = x.reshape(B, T // p_sz, p_sz, C).max(axis=2)
-    # GlobalMaxPool over the sharded time axis: local max then pmax.
+    # GlobalMaxPool over the sharded time axis: local max, then max over the
+    # all_gathered shard maxima (all_gather+max rather than pmax so the whole
+    # sharded forward stays differentiable — pmax has no JVP rule).
     x = jnp.max(x, axis=1)
-    x = jax.lax.pmax(x, axis)
+    x = jnp.max(jax.lax.all_gather(x, axis), axis=0)
     emb = params["embed"]
     return x @ emb["kernel"].astype(jnp.float32) + emb["bias"]
 

@@ -1,0 +1,133 @@
+"""Pod-scale n-shot evaluation (BASELINE.json config #5, complete).
+
+"Batched embedding of the full test-clean speaker set with sharded distance
+matrix": both halves run over the mesh —
+
+1. **sharded embedding**: utterance indices sharded over the ``data`` axis;
+   every device runs the fused fetch→preprocess→encode pipeline on its shard
+   of the corpus-store rows, then the table is all_gathered (the table is
+   tiny — N×64 floats — vs the audio that never moves);
+2. **sharded task scoring**: the n-shot tasks are sharded over the same axis
+   and each device scores its task shard against the replicated table; the
+   per-task correctness bits are ``psum``-reduced into the global accuracy —
+   the pod-scale form of ``eval/nshot.py``.
+
+Mesh-size agnostic; tested on the faked CPU mesh against the single-device
+evaluator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ExperimentConfig
+from ..ops import sampling
+from ..train.state import TrainState
+from ..train.steps import DeviceStore, fetch_batch
+
+
+def make_sharded_embed_table_fn(model, cfg: ExperimentConfig, mesh: Mesh,
+                                axis: str = "data"):
+    """jit(shard_map): (state, store, indices (N_pad,)) → (N_pad, D) table.
+
+    ``indices`` must be padded to a multiple of the axis size (clamp-pad with
+    any valid id; callers slice the result).
+    """
+
+    def device_embed(state: TrainState, store: DeviceStore, indices):
+        x = fetch_batch(store, indices, jax.random.PRNGKey(0), cfg,
+                        stochastic=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        local = model.apply(variables, x, train=False, method=model.embed)
+        return jax.lax.all_gather(local, axis, axis=0, tiled=True)
+
+    return jax.jit(
+        jax.shard_map(
+            device_embed,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_task_scorer(mesh: Mesh, num_tasks: int, n: int, k: int,
+                             axis: str = "data"):
+    """jit(shard_map): (table, speaker_utts, counts, key) → scalar accuracy.
+
+    Tasks are sampled identically on every device (same key), then each
+    device scores its own shard of the task list; correctness bits psum up.
+    ``num_tasks`` must divide by the axis size.
+    """
+    n_dev = mesh.shape[axis]
+    if num_tasks % n_dev:
+        raise ValueError(f"num_tasks {num_tasks} must divide mesh axis {n_dev}")
+    local_tasks = num_tasks // n_dev
+
+    def device_score(table, speaker_utts, counts, key):
+        tasks = sampling.sample_nshot_tasks(
+            key, speaker_utts, counts, num_tasks, n, k
+        )
+        me = jax.lax.axis_index(axis)
+        sl = me * local_tasks
+        q_idx = jax.lax.dynamic_slice(tasks.query_idx, (sl,), (local_tasks,))
+        s_idx = jax.lax.dynamic_slice(
+            tasks.support_idx, (sl, 0, 0), (local_tasks, k, n)
+        )
+        q = table[q_idx]  # (lt, D)
+        s = table[s_idx]  # (lt, k, n, D)
+        qn = jnp.sum(q * q, axis=-1)[:, None, None]
+        sn = jnp.sum(s * s, axis=-1)
+        cross = jnp.einsum("td,tknd->tkn", q, s,
+                           preferred_element_type=jnp.float32)
+        dist = (qn + sn - 2.0 * cross).mean(axis=-1)  # (lt, k)
+        correct = (jnp.argmin(dist, axis=-1) == 0).astype(jnp.float32)
+        return jax.lax.psum(jnp.sum(correct), axis) / num_tasks
+
+    return jax.jit(
+        jax.shard_map(
+            device_score,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+def pod_evaluate(
+    model,
+    state: TrainState,
+    store: DeviceStore,
+    cfg: ExperimentConfig,
+    mesh: Mesh,
+    key: jax.Array,
+    num_tasks: Optional[int] = None,
+    n: Optional[int] = None,
+    k: Optional[int] = None,
+    axis: str = "data",
+) -> float:
+    """Full pod-scale n-shot evaluation (classifier / embedding mode)."""
+    t = cfg.train
+    num_tasks = num_tasks or t.num_eval_tasks
+    n = n or t.n_shot
+    k = k or t.k_way
+    n_dev = mesh.shape[axis]
+    num_tasks = (num_tasks // n_dev) * n_dev or n_dev
+
+    N = int(store.labels.shape[0])
+    pad = (-N) % n_dev
+    indices = jnp.asarray(
+        np.concatenate([np.arange(N), np.zeros(pad, np.int64)]).astype(np.int32)
+    )
+    embed_fn = make_sharded_embed_table_fn(model, cfg, mesh, axis)
+    table = embed_fn(state, store, indices)[:N]
+    scorer = make_sharded_task_scorer(mesh, num_tasks, n, k, axis)
+    return float(scorer(table, store.speaker_utts, store.speaker_counts, key))
