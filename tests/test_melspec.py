@@ -54,7 +54,7 @@ def test_log_mel_vs_numpy():
     out = np.asarray(melspec.log_mel_spectrogram(jnp.asarray(x), CFG, SR))
     n_frames = melspec.num_frames(3200, CFG)
     assert out.shape == (2, n_frames, CFG.n_mels)
-    win = np.hanning(CFG.win_length)
+    win = melspec.hann_window(CFG.win_length)
     fb = melspec.mel_filterbank(SR, CFG.n_fft, CFG.n_mels)
     for b in range(2):
         for f in [0, n_frames // 2, n_frames - 1]:

@@ -188,3 +188,26 @@ def test_checkpoint_roundtrip(store_and_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     best = mgr.restore_best(template)
     assert int(best.step) == 3
+
+
+def test_best_metric_persists_across_restart(store_and_root, tmp_path):
+    """A resumed run must not overwrite the historical best with a worse
+    post-restart evaluation (code-review finding)."""
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+    state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+
+    from voicemap_tpu.train.checkpoints import CheckpointManager
+
+    d = str(tmp_path / "ck2")
+    mgr = CheckpointManager(d)
+    assert mgr.save_best(state, 0.9)
+    mgr.wait()
+    # Simulate restart: fresh manager over the same directory.
+    mgr2 = CheckpointManager(d)
+    assert mgr2.best_metric == 0.9
+    assert not mgr2.save_best(state, 0.3)
+    assert mgr2.save_best(state, 0.95)
+    mgr2.wait()

@@ -205,7 +205,8 @@ def siamese_verification(**overrides) -> ExperimentConfig:
     cfg = ExperimentConfig(
         name="siamese_verification",
         mode="siamese",
-        data=DataConfig(subsets=("train-clean-100",), seconds=3.0, downsampling=4),
+        data=DataConfig(subsets=("train-clean-100",), seconds=3.0, downsampling=4,
+                        val_subsets=("dev-clean",)),
         encoder=EncoderConfig(dropout=0.0),
         train=TrainConfig(batch_size=64, loss="bce"),
     )

@@ -21,6 +21,7 @@ single batched matmul-distance kernel"):
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Callable, Optional
 
@@ -35,6 +36,21 @@ from ..train.steps import DeviceStore, fetch_batch
 from ..train.state import TrainState
 
 
+@functools.lru_cache(maxsize=32)
+def _embed_chunk_fn(model, cfg: ExperimentConfig):
+    """Build-once jitted chunk embedder (flax modules and the frozen config
+    are hashable, so the jit cache survives across evaluate() calls — a fresh
+    closure per call would re-trace and re-compile at every periodic eval)."""
+
+    @jax.jit
+    def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
+        x = fetch_batch(sto, indices, jax.random.PRNGKey(0), cfg, stochastic=False)
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        return model.apply(variables, x, train=False, method=model.embed)
+
+    return embed_chunk
+
+
 def embed_all(
     model,
     state: TrainState,
@@ -43,13 +59,7 @@ def embed_all(
     batch_size: int = 256,
 ) -> jnp.ndarray:
     """Embed every utterance in the store → (N, D) table (chunked, jitted)."""
-
-    @jax.jit
-    def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
-        x = fetch_batch(sto, indices, jax.random.PRNGKey(0), cfg, stochastic=False)
-        variables = {"params": st.params, "batch_stats": st.batch_stats}
-        return model.apply(variables, x, train=False, method=model.embed)
-
+    embed_chunk = _embed_chunk_fn(model, cfg)
     N = store.labels.shape[0]
     chunks = []
     for start in range(0, N, batch_size):
@@ -83,8 +93,10 @@ def classifier_nshot_accuracy(
     qn = jnp.sum(q * q, axis=-1)[:, None, None]
     sn = jnp.sum(s * s, axis=-1)
     cross = jnp.einsum("td,tknd->tkn", q, s, preferred_element_type=jnp.float32)
-    dist = qn + sn - 2.0 * cross  # (tasks, k, n)
-    class_dist = dist.mean(axis=-1)  # (tasks, k)
+    sq = jnp.maximum(qn + sn - 2.0 * cross, 0.0)  # (tasks, k, n)
+    # Reference n>1 semantics: average *euclidean* distances per class
+    # (not squared — the two orderings differ for n>1).
+    class_dist = jnp.sqrt(sq + 1e-12).mean(axis=-1)  # (tasks, k)
     pred = jnp.argmin(class_dist, axis=-1)
     return jnp.mean((pred == 0).astype(jnp.float32))
 

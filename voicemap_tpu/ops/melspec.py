@@ -81,6 +81,14 @@ def mel_filterbank(
     return fb.astype(np.float32)
 
 
+def hann_window(n: int, periodic: bool = True) -> np.ndarray:
+    """Hann window; ``periodic=True`` matches librosa/scipy ``fftbins=True``
+    (denominator N, not N−1 — np.hanning is the symmetric variant)."""
+    k = np.arange(n)
+    denom = n if periodic else n - 1
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / denom)).astype(np.float32)
+
+
 def frame_signal(x: jnp.ndarray, win_length: int, hop_length: int) -> jnp.ndarray:
     """(B, T) → (B, n_frames, win_length), centered=False framing."""
     T = x.shape[-1]
@@ -106,7 +114,7 @@ def log_mel_spectrogram(
     if x.ndim == 3:
         x = x[..., 0]
     frames = frame_signal(x.astype(jnp.float32), cfg.win_length, cfg.hop_length)
-    window = jnp.asarray(np.hanning(cfg.win_length).astype(np.float32))
+    window = jnp.asarray(hann_window(cfg.win_length))
     frames = frames * window
     if cfg.n_fft > cfg.win_length:
         frames = jnp.pad(
@@ -130,7 +138,7 @@ def dft_bases(cfg: MelConfig) -> Tuple[np.ndarray, np.ndarray]:
     n = np.arange(cfg.win_length)[:, None]
     k = np.arange(n_freq)[None, :]
     ang = 2.0 * np.pi * n * k / cfg.n_fft
-    w = np.hanning(cfg.win_length)[:, None]
+    w = hann_window(cfg.win_length)[:, None]
     C = (np.cos(ang) * w).astype(np.float32)
     S = (-np.sin(ang) * w).astype(np.float32)
     return C, S

@@ -87,7 +87,10 @@ def make_sharded_task_scorer(mesh: Mesh, num_tasks: int, n: int, k: int,
         sn = jnp.sum(s * s, axis=-1)
         cross = jnp.einsum("td,tknd->tkn", q, s,
                            preferred_element_type=jnp.float32)
-        dist = (qn + sn - 2.0 * cross).mean(axis=-1)  # (lt, k)
+        sq = jnp.maximum(qn + sn - 2.0 * cross, 0.0)
+        # Average euclidean (not squared) distances per class — reference
+        # n>1 semantics, matching eval/nshot.py.
+        dist = jnp.sqrt(sq + 1e-12).mean(axis=-1)  # (lt, k)
         correct = (jnp.argmin(dist, axis=-1) == 0).astype(jnp.float32)
         return jax.lax.psum(jnp.sum(correct), axis) / num_tasks
 

@@ -9,6 +9,7 @@ reference lacked.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -30,7 +31,16 @@ class CheckpointManager:
             os.path.join(self.directory, "best"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1),
         )
+        # Best metric persists on disk so a resumed run cannot overwrite the
+        # historical best checkpoint with a worse post-restart evaluation.
+        self._best_metric_path = os.path.join(self.directory, "best_metric.json")
         self.best_metric: Optional[float] = None
+        if os.path.exists(self._best_metric_path):
+            try:
+                with open(self._best_metric_path) as f:
+                    self.best_metric = float(json.load(f)["metric"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                self.best_metric = None
 
     def save(self, state: TrainState) -> None:
         step = int(state.step)
@@ -41,6 +51,8 @@ class CheckpointManager:
         if self.best_metric is None or metric > self.best_metric:
             self.best_metric = metric
             self._best_mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+            with open(self._best_metric_path, "w") as f:
+                json.dump({"metric": float(metric), "step": int(state.step)}, f)
             return True
         return False
 

@@ -105,6 +105,12 @@ def fit(
         val_ds = dataset_from_config(val_cfg)
         val_store = steps_mod.device_store_for(cfg, val_ds.to_store(max_store_seconds))
     elif store is not None:
+        if verbose:
+            print(
+                "note: no val_subsets configured — n-shot eval (best-model "
+                "gating + LR plateau) runs on the TRAINING store; set "
+                "DataConfig.val_subsets for the reference's held-out protocol"
+            )
         val_store = store
     else:
         # Streaming without a val split: evaluate on a bounded sub-store.

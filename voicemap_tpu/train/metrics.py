@@ -77,7 +77,9 @@ class PlateauScheduler:
             self.bad_count = 0
         else:
             self.bad_count += 1
-            if self.bad_count > self.patience:
+            # Keras ReduceLROnPlateau semantics: reduce once `patience`
+            # non-improving evaluations have accumulated.
+            if self.bad_count >= self.patience:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.bad_count = 0
         return self.lr

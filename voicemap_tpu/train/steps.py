@@ -157,7 +157,10 @@ def siamese_loss_fn(model, cfg: ExperimentConfig):
                 jnp.sum(jnp.square(emb[:Bsz] - emb[Bsz:]), axis=-1) + 1e-12
             )
             loss = losses.contrastive(d, y, margin=margin, same_label=same_label)
-            acc = jnp.mean(((d > margin / 2).astype(jnp.float32)) == y)
+            # Predicted "different" when d > margin/2; map to the configured
+            # label convention (different = 1 - same_label).
+            pred = jnp.where(d > margin / 2, 1.0 - same_label, float(same_label))
+            acc = jnp.mean(pred == y)
         else:
             logits, mut = model.apply(
                 variables,
