@@ -211,3 +211,31 @@ def test_best_metric_persists_across_restart(store_and_root, tmp_path):
     assert not mgr2.save_best(state, 0.3)
     assert mgr2.save_best(state, 0.95)
     mgr2.wait()
+
+
+def test_pad_mode_device_pipeline(corpus_root):
+    """pad=True keeps short files; the device store zero-pads and the fused
+    pipeline trains on them without NaNs."""
+    cfg = ExperimentConfig(
+        mode="classifier",
+        data=DataConfig(
+            data_root=corpus_root, subsets=("dev-clean",),
+            seconds=5.0,  # longer than most synthetic files → pad engages
+            downsampling=4, pad=True,
+        ),
+        encoder=EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
+                              compute_dtype="float32"),
+        train=TrainConfig(batch_size=8, learning_rate=1e-3),
+    )
+    from voicemap_tpu.data.dataset import SpeakerDataset
+
+    ds = SpeakerDataset(subsets=("dev-clean",), seconds=5.0, pad=True,
+                        data_root=corpus_root, seed=0)
+    assert len(ds) == 48  # nothing dropped
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = _init(model, cfg, (jnp.zeros((1, cfg.data.model_length, 1)),))
+    step, _ = steps_mod.make_classifier_train_step(model, cfg)
+    for _ in range(5):
+        state, m = step(state, store, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))

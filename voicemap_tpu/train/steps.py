@@ -42,7 +42,8 @@ class DeviceStore(NamedTuple):
 
     @classmethod
     def from_host(
-        cls, store: AudioStore, device=None, pallas_downsampling: int = 0
+        cls, store: AudioStore, device=None, pallas_downsampling: int = 0,
+        min_length: int = 0,
     ) -> "DeviceStore":
         """Ship the corpus to device memory.
 
@@ -50,10 +51,16 @@ class DeviceStore(NamedTuple):
         kernel: decimated once by that factor and guard-padded
         (ops/pallas_preprocess.decimate_store); lengths switch to decimated
         units. Required when cfg.train.use_pallas_preprocess is on.
+
+        ``min_length`` zero-pads rows to at least this many raw samples so
+        fragment gathers stay in-bounds when every file is shorter than the
+        configured fragment (pad=True mode).
         """
         put = partial(jax.device_put, device=device)
         audio = jnp.asarray(store.audio)
         lengths = jnp.asarray(store.lengths)
+        if min_length and audio.shape[1] < min_length:
+            audio = jnp.pad(audio, ((0, 0), (0, min_length - audio.shape[1])))
         if pallas_downsampling:
             from ..ops.pallas_preprocess import decimate_store
 
@@ -72,7 +79,10 @@ def device_store_for(cfg: ExperimentConfig, audio_store, device=None) -> "Device
     """Build a DeviceStore prepared consistently with the preprocessing mode
     this config resolves to (pallas ⇒ pre-decimated + guard-padded store)."""
     ds_factor = cfg.data.downsampling if resolve_pallas_preprocess(cfg) else 0
-    return DeviceStore.from_host(audio_store, device, pallas_downsampling=ds_factor)
+    return DeviceStore.from_host(
+        audio_store, device, pallas_downsampling=ds_factor,
+        min_length=cfg.data.fragment_length,
+    )
 
 
 def fetch_batch(
