@@ -376,3 +376,15 @@ def test_halo_encoder_grads_match_dense(mesh8):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_distributed_helpers_single_process():
+    from voicemap_tpu.parallel import distributed
+
+    assert distributed.initialize() is False  # single-process no-op
+    mesh = distributed.global_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh2 = distributed.global_mesh({"data": 4, "model": 2})
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        distributed.global_mesh({"data": 3})

@@ -114,8 +114,11 @@ def pallas_log_mel(
     if x.ndim == 3:
         x = x[..., 0]
     B, T = x.shape
+    # Shrink the batch block to divide B (model init probes with batch 1).
+    while block_rows > 1 and B % block_rows:
+        block_rows //= 2
     if B % block_rows:
-        raise ValueError(f"batch {B} not a multiple of block_rows {block_rows}")
+        block_rows = 1
     n_frames = melspec.num_frames(T, cfg)
     C, S, fb = _bases(cfg, sample_rate)
     x = x.astype(jnp.float32)
