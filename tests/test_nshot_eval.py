@@ -103,3 +103,46 @@ def test_evaluate_wrapper_guards(corpus_root):
     acc = nshot.evaluate(model, state, store, cfg, jax.random.PRNGKey(0),
                          num_tasks=50, n=1, k=2, embed_batch=16)
     assert 0.0 <= acc <= 1.0
+
+
+def test_contrastive_siamese_evaluates_by_embedding(corpus_root):
+    """Contrastive-trained siamese: the Dense(1) head receives no gradients,
+    so evaluate() must score by embedding distance, not head logits."""
+    from voicemap_tpu.config import (
+        DataConfig, EncoderConfig, ExperimentConfig, SiameseConfig, TrainConfig,
+    )
+    from voicemap_tpu.data.dataset import SpeakerDataset
+    from voicemap_tpu.models.siamese import SiameseNet
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = ExperimentConfig(
+        mode="siamese",
+        data=DataConfig(data_root=corpus_root, subsets=("dev-clean",),
+                        seconds=1.0, downsampling=4),
+        encoder=EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
+                              compute_dtype="float32"),
+        siamese=SiameseConfig(distance_metric="uniform_euclidean"),
+        train=TrainConfig(batch_size=16, learning_rate=3e-3,
+                          loss="contrastive"),
+    )
+    ds = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                        data_root=corpus_root, seed=0)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    state = init_model_state(model, cfg)
+    # Sabotage the head with a NEGATIVE weight: head-based scoring would
+    # invert rankings; embedding-based scoring must be unaffected.
+    state = state.replace(params={
+        **state.params,
+        "head": {
+            "kernel": jnp.full_like(state.params["head"]["kernel"], -5.0),
+            "bias": state.params["head"]["bias"],
+        },
+    })
+    step, _ = steps_mod.make_siamese_train_step(model, cfg)
+    for _ in range(40):
+        state, m = step(state, store, jax.random.PRNGKey(0))
+    acc = nshot.evaluate(model, state, store, cfg, jax.random.PRNGKey(1),
+                         num_tasks=200, n=1, k=2, embed_batch=16)
+    assert acc > 0.55, f"contrastive eval below chance: {acc}"

@@ -239,3 +239,28 @@ def test_pad_mode_device_pipeline(corpus_root):
     for _ in range(5):
         state, m = step(state, store, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Pallas path is TPU-only")
+def test_pallas_preprocess_training_on_tpu(store_and_root):
+    """The fused Pallas gather+whiten path in a real train step (TPU only)."""
+    store_raw, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier").replace(
+        train=TrainConfig(batch_size=16, learning_rate=3e-3,
+                          use_pallas_preprocess=True),
+    )
+    from voicemap_tpu.data.dataset import SpeakerDataset
+
+    d2 = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                        data_root=root, seed=0)
+    store = steps_mod.device_store_for(cfg, d2.to_store())
+    assert store.pallas_ds == cfg.data.downsampling
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = _init(model, cfg, (jnp.zeros((1, cfg.data.model_length, 1)),))
+    step, _ = steps_mod.make_classifier_train_step(model, cfg)
+    losses = []
+    for _ in range(10):
+        state, m = step(state, store, jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

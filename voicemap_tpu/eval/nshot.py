@@ -176,7 +176,15 @@ def evaluate(
             f"minimum in the eval store is {int(counts.min())}"
         )
     table = embed_all(model, state, store, cfg, batch_size=embed_batch)
-    if cfg.mode == "siamese" and cfg.siamese.distance_metric in dist_ops.SIAMESE_METRICS:
+    # Contrastive training optimizes embedding euclidean distances and never
+    # trains the Dense(1) head — scoring with the (random-init) head could
+    # even invert rankings, so evaluate by embedding distance instead.
+    use_head = (
+        cfg.mode == "siamese"
+        and cfg.train.loss != "contrastive"
+        and cfg.siamese.distance_metric in dist_ops.SIAMESE_METRICS
+    )
+    if use_head:
         head = state.params["head"]
         acc = siamese_nshot_accuracy(
             table,

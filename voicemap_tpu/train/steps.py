@@ -11,8 +11,9 @@ int16 store (``DeviceStore``); host ↔ device traffic per step is O(1).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -31,14 +32,22 @@ def resolve_pallas_preprocess(cfg: ExperimentConfig) -> bool:
     return bool(flag)
 
 
-class DeviceStore(NamedTuple):
-    """AudioStore shipped to device memory (or sharded across a mesh)."""
+@flax.struct.dataclass
+class DeviceStore:
+    """AudioStore shipped to device memory (or sharded across a mesh).
+
+    ``pallas_ds`` is static pytree metadata recording how the store was
+    prepared: 0 = raw audio (XLA preprocessing path), ``d`` > 0 = decimated
+    by ``d`` and guard-padded for the fused Pallas kernel. ``fetch_batch``
+    dispatches on it, so a store can never be fed to the wrong path.
+    """
 
     audio: jnp.ndarray  # (N, T_store) int16
     lengths: jnp.ndarray  # (N,) int32
     labels: jnp.ndarray  # (N,) int32
     speaker_utts: jnp.ndarray  # (S, max_utt) int32
     speaker_counts: jnp.ndarray  # (S,) int32
+    pallas_ds: int = flax.struct.field(pytree_node=False, default=0)
 
     @classmethod
     def from_host(
@@ -69,9 +78,10 @@ class DeviceStore(NamedTuple):
         return cls(
             audio=put(audio),
             lengths=put(lengths),
-            labels=put(store.labels),
-            speaker_utts=put(store.speaker_utts),
-            speaker_counts=put(store.speaker_counts),
+            labels=put(jnp.asarray(store.labels)),
+            speaker_utts=put(jnp.asarray(store.speaker_utts)),
+            speaker_counts=put(jnp.asarray(store.speaker_counts)),
+            pallas_ds=int(pallas_downsampling),
         )
 
 
@@ -94,13 +104,18 @@ def fetch_batch(
 ) -> jnp.ndarray:
     """indices → preprocessed model inputs (B, T_model, 1).
 
-    Dispatches to the fused Pallas gather+whiten kernel when
-    ``cfg.train.use_pallas_preprocess`` (the store must then have been built
-    with ``DeviceStore.from_host(..., pallas_downsampling=ds)``), else the
-    XLA gather→decimate→whiten chain.
+    Dispatches on how the store was prepared (``store.pallas_ds``): the
+    fused Pallas gather+whiten kernel for a pre-decimated store, else the
+    XLA gather→decimate→whiten chain — a raw store can never hit the Pallas
+    path regardless of the config flag.
     """
     d = cfg.data
-    if resolve_pallas_preprocess(cfg):
+    if store.pallas_ds:
+        if store.pallas_ds != d.downsampling:
+            raise ValueError(
+                f"store decimated by {store.pallas_ds} but config expects "
+                f"downsampling {d.downsampling}"
+            )
         from ..ops.pallas_preprocess import pallas_gather_whiten, quantize_offsets
 
         t_out = d.model_length  # store is pre-decimated: lengths in ds units
