@@ -70,6 +70,7 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
     offsets = jnp.asarray(rng.integers(0, STORE_T - FRAG, size=(batch_size,), dtype=np.int32))
 
     if use_pallas and jax.default_backend() == "tpu":
+        from voicemap_tpu.models.fast_infer import fast_embed
         from voicemap_tpu.ops.pallas_preprocess import (
             decimate_store, pallas_gather_whiten, quantize_offsets,
         )
@@ -78,11 +79,12 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
         t_out = FRAG // DOWNSAMPLING
         offsets = quantize_offsets(offsets // DOWNSAMPLING)
         indices = jnp.arange(batch_size, dtype=jnp.int32)
+        enc_cfg = model.cfg
 
         @jax.jit
         def embed(store, offsets):
             x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
-            return model.apply(variables, x, train=False)
+            return fast_embed(variables, enc_cfg, x)
     else:
 
         @jax.jit
@@ -116,7 +118,7 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = pallas_gather_whiten(
                 store, one_idx, offsets, t_out, block_rows=1
             )[..., None]
-            return model.apply(variables, x, train=False)
+            return fast_embed(variables, model.cfg, x)
     else:
 
         @jax.jit

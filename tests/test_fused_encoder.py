@@ -71,3 +71,36 @@ def test_fused_encoder_dilated_config():
     out = fused_encoder_apply(variables, cfg, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=2e-4)
+
+
+def test_fast_embed_matches_standard_cpu():
+    """On CPU the fast path falls back to pure XLA blocks — exact parity."""
+    from voicemap_tpu.models.fast_infer import fast_embed
+
+    cfg = EncoderConfig(filters=8, embedding_dim=16, dropout=0.0, **F32)
+    model = ConvEncoder(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 1024, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    expect = model.apply(variables, x, train=False)
+    out = fast_embed(variables, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="Pallas path")
+def test_fast_embed_matches_standard_tpu():
+    from voicemap_tpu.models.fast_infer import fast_embed
+
+    cfg = EncoderConfig(filters=128, embedding_dim=64, dropout=0.0)  # bf16
+    model = ConvEncoder(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((8, 12000, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    expect = model.apply(variables, x, train=False)
+    out = fast_embed(variables, cfg, x)
+    # bf16 end-to-end: allow bf16-scale tolerance on the final embedding.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=0.05, atol=0.05)

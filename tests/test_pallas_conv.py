@@ -1,0 +1,58 @@
+"""Fused Pallas conv-block0 kernel vs the XLA conv chain (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicemap_tpu.ops.pallas_conv import pallas_conv_block0
+
+
+def reference_block(x, w, b, scale, bias, mean, var, eps, pool):
+    import flax.linen as nn
+
+    y = jax.lax.conv_general_dilated(
+        x, w, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC")
+    ) + b
+    y = jax.nn.relu(y)
+    y = (y - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return nn.max_pool(y, (pool,), (pool,))
+
+
+@pytest.mark.parametrize("k,pool,T,C", [(32, 4, 512, 128), (32, 4, 1280, 16),
+                                        (8, 2, 256, 32)])
+def test_pallas_block0_matches_xla(k, pool, T, C):
+    rng = np.random.default_rng(0)
+    B = 4
+    x = jnp.asarray(rng.standard_normal((B, T, 1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, 1, C)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+    eps = 1e-3
+    expect = reference_block(x, w, b, scale, bias, mean, var, eps, pool)
+    out = pallas_conv_block0(
+        x, w, b, scale, bias, mean, var, eps, pool=pool,
+        block_rows=2, t_chunk=128, interpret=True, out_dtype=jnp.float32,
+        gemm_dtype=jnp.float32,
+    )
+    assert out.shape == expect.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_block0_nonmultiple_tout():
+    """t_out not a multiple of t_chunk → padded positions sliced off."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 600, 1)), jnp.float32)  # t_out=150
+    w = jnp.asarray(rng.standard_normal((32, 1, 16)) * 0.2, jnp.float32)
+    z = jnp.zeros((16,), jnp.float32)
+    o = jnp.ones((16,), jnp.float32)
+    expect = reference_block(x, w, z, o, z, z, o, 1e-3, 4)
+    out = pallas_conv_block0(x, w, z, o, z, z, o, 1e-3, pool=4,
+                             block_rows=2, t_chunk=128, interpret=True,
+                             out_dtype=jnp.float32, gemm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,210 @@
+"""Pallas fused conv-block kernel for the encoder's first block.
+
+Block 0 (Cin=1, kernel 32, pool 4) dominates the encoder's HBM traffic: the
+XLA emitter writes the full-rate (B, T, 128) activation and re-reads it for
+the max-pool (6.3 GB each way at B=2048). This kernel keeps the full-rate
+activation in VMEM: per batch row and time chunk it
+
+1. builds the pooled-frame matrix Fᵀ (win, T_CH) from a phase-split input
+   view — ``win`` lane-rolls + aligned slices (strided slices do not lower
+   on this Mosaic; rolls do);
+2. transposes to F (T_CH, win) in VMEM and runs ONE MXU matmul against the
+   phase-stacked weights (win, pool·C) — the pooled-GEMM formulation whose
+   semantics are property-tested in ``models/fused_encoder.py``;
+3. applies bias → relu → BN inference affine → max over the ``pool`` static
+   lane blocks, writing only the pool-rate (B, T/pool, C) output.
+
+Input is passed phase-split as ``x4t (B, pool, T/pool + pad)`` — prepared
+once per batch by XLA (4 strided slices; cheap) — so all in-kernel indexing
+is aligned. Cin=1 only (the first block); later blocks have Cin ≥ 128 where
+XLA's conv emitter is already compute-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def phase_split(x: jnp.ndarray, pool: int, reach: int, t_out_pad: int) -> jnp.ndarray:
+    """(B, T) waveform → (B, pool, t_out_pad + Q) phase-split view, SAME-padded.
+
+    ``x4t[b, r, p] = x_padded[b, pool*p + r]`` with ``reach//2`` left padding;
+    Q extra columns cover the window taps of the last (padded) position.
+    """
+    B, T = x.shape
+    pad_l = reach // 2
+    q_max = reach // pool + 2
+    need = pool * (t_out_pad + q_max)
+    xp = jnp.pad(x, ((0, 0), (pad_l, need - T - pad_l)))
+    return xp.reshape(B, t_out_pad + q_max, pool).transpose(0, 2, 1)
+
+
+def stacked_weights(
+    w: jnp.ndarray, pool: int
+) -> Tuple[jnp.ndarray, int, int]:
+    """w (k, 1, C) → W4 (rows_pad, pool·C) keyed by Fᵀ's (q, r) row order.
+
+    F[p, pool*q + r] = x_padded[pool*(p+q) + r]  (sample m = pool*q + r of the
+    window starting at pool*p). W4[pool*q + r, j*C + c] = w[m − j, c].
+    Returns (W4, win_rows, rows_pad) with rows_pad sublane-aligned.
+    """
+    k, cin, c = w.shape
+    assert cin == 1, "block-0 kernel is Cin=1 only"
+    reach = k - 1
+    win = reach + pool
+    rows_pad = _ceil_to(win, 8)
+    wf = w[:, 0, :].astype(jnp.float32)
+    w4 = jnp.zeros((rows_pad, pool * c), jnp.float32)
+    for m in range(win):
+        for j in range(pool):
+            i = m - j
+            if 0 <= i < k:
+                w4 = w4.at[m, j * c : (j + 1) * c].set(wf[i])
+    return w4, win, rows_pad
+
+
+def _kernel(
+    x4t_ref,  # (b_blk, pool, Lq) f32
+    w4_ref,  # (rows_pad, pool*C) f32
+    aff_ref,  # (3, pool*C) f32: [bias_tiled, bn_mul_tiled, bn_add_tiled]
+    o_ref,  # (b_blk, t_out_pad, C) bf16
+    fst_ref,  # scratch (rows_pad, T_CH) f32 — Fᵀ
+    *,
+    b_blk: int,
+    pool: int,
+    win: int,
+    rows_pad: int,
+    t_out_pad: int,
+    t_ch: int,
+    c: int,
+    gemm_dtype,
+):
+    n_q = win // pool + (1 if win % pool else 0)
+    # Zero Fᵀ once: rows ≥ win are never written and would otherwise hold
+    # uninitialized values — NaN×0 = NaN through the matmul.
+    fst_ref[:] = jnp.zeros((rows_pad, t_ch), fst_ref.dtype)
+    bias = aff_ref[0, :]
+    mul = aff_ref[1, :]
+    add = aff_ref[2, :]
+
+    # Hoist the lane rolls: one roll per window tap q over ALL rows/phases
+    # (merged leading dims), instead of one per (row, chunk, q). Lane offsets
+    # base+q are not 128-aligned for q>0; roll(L−q) ≡ roll(−q) (pltpu.roll
+    # rejects negative shifts) makes every later slice aligned.
+    Lq = x4t_ref.shape[2]
+    # Rolls only lower for 32-bit data: roll in f32, cast at extraction.
+    xall = x4t_ref[:].reshape(b_blk * pool, Lq)
+    rolled = [xall] + [
+        pltpu.roll(xall, Lq - q, 1) for q in range(1, n_q)
+    ]
+
+    for row in range(b_blk):
+        for ch in range(t_out_pad // t_ch):
+            base = ch * t_ch
+            for q in range(n_q):
+                if pool * q + pool <= rows_pad:
+                    fst_ref[pl.ds(pool * q, pool), :] = rolled[q][
+                        row * pool : (row + 1) * pool, base : base + t_ch
+                    ].astype(gemm_dtype)
+            f = fst_ref[:].T  # (t_ch, rows_pad) — in-VMEM transpose
+            # bf16 operands (production): one MXU pass instead of the 3+
+            # passes an f32 matmul costs on v5e; accumulation stays f32.
+            y = jnp.dot(
+                f, w4_ref[:].astype(gemm_dtype),
+                preferred_element_type=jnp.float32,
+            )  # (t_ch, pool*C)
+            y = jax.nn.relu(y + bias[None, :]) * mul[None, :] + add[None, :]
+            out = y[:, :c]
+            for j in range(1, pool):
+                out = jnp.maximum(out, y[:, j * c : (j + 1) * c])
+            o_ref[row, base : base + t_ch, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pool", "block_rows", "t_chunk", "interpret", "out_dtype",
+                     "gemm_dtype"),
+)
+def pallas_conv_block0(
+    x: jnp.ndarray,  # (B, T, 1) or (B, T) float32 waveform (post-preprocess)
+    w: jnp.ndarray,  # (k, 1, C) conv kernel
+    b: jnp.ndarray,  # (C,)
+    bn_scale: jnp.ndarray,
+    bn_bias: jnp.ndarray,
+    bn_mean: jnp.ndarray,
+    bn_var: jnp.ndarray,
+    bn_eps: float = 1e-3,
+    pool: int = 4,
+    block_rows: int = 8,
+    t_chunk: int = 1024,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    gemm_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused conv(SAME)+relu+BN(inference)+maxpool → (B, T//pool, C)."""
+    if x.ndim == 3:
+        x = x[..., 0]
+    B, T = x.shape
+    k, _cin, c = w.shape
+    if T % pool:
+        raise ValueError("T must divide by pool")
+    t_out = T // pool
+    t_out_pad = _ceil_to(t_out, t_chunk)
+    while block_rows > 1 and B % block_rows:
+        block_rows //= 2
+    reach = k - 1
+    x4t = phase_split(x.astype(jnp.float32), pool, reach, t_out_pad)
+    w4, win, rows_pad = stacked_weights(w, pool)
+    inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + bn_eps) * bn_scale
+    aff = jnp.stack(
+        [
+            jnp.tile(b.astype(jnp.float32), pool),
+            jnp.tile(inv.astype(jnp.float32), pool),
+            jnp.tile(
+                (bn_bias - bn_mean * inv).astype(jnp.float32), pool
+            ),
+        ]
+    )
+    Lq = x4t.shape[2]
+    kernel = functools.partial(
+        _kernel,
+        b_blk=block_rows,
+        pool=pool,
+        win=win,
+        rows_pad=rows_pad,
+        t_out_pad=t_out_pad,
+        t_ch=t_chunk,
+        c=c,
+        gemm_dtype=gemm_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, pool, Lq), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w4.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(aff.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, t_out_pad, c), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, t_out_pad, c), out_dtype),
+        scratch_shapes=[pltpu.VMEM((rows_pad, t_chunk), gemm_dtype)],
+        interpret=interpret,
+    )(x4t, w4, aff)
+    return out[:, :t_out, :]
