@@ -1,6 +1,11 @@
 """Orbax checkpointing: params + opt_state + step + lr, with auto-resume and
 a best-by-n-shot-accuracy export policy.
 
+Sampler state needs no explicit checkpointing: batch sampling is a pure
+function of (seed, step) — every train step folds ``state.step`` into the
+PRNG key — so restoring ``step`` exactly resumes the data stream
+(SURVEY.md §5 "checkpoint/resume": the reference could not resume at all).
+
 Rebuild of the reference's ``ModelCheckpoint(monitor='val_1-shot_acc',
 mode='max', save_best_only)`` → ``models/*.hdf5`` (SURVEY.md §5
 "Checkpoint / resume") — extended with full optimizer-state resume, which the
