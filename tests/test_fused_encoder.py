@@ -104,3 +104,19 @@ def test_fast_embed_matches_standard_tpu():
     # bf16 end-to-end: allow bf16-scale tolerance on the final embedding.
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=0.05, atol=0.05)
+
+
+def test_fast_embed_nondivisible_time_axis():
+    """Pooling must floor like nn.max_pool (T=250→125→62 with pool 2)."""
+    from voicemap_tpu.models.fast_infer import fast_embed
+
+    cfg = EncoderConfig(filters=4, embedding_dim=8, dropout=0.0, **F32)
+    model = ConvEncoder(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 1000, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    expect = model.apply(variables, x, train=False)
+    out = fast_embed(variables, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)

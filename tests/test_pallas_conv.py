@@ -56,3 +56,19 @@ def test_pallas_block0_nonmultiple_tout():
                              out_dtype=jnp.float32, gemm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_block0_large_pool_small_kernel():
+    """pool*n_q > ceil8(win): the scratch must cover every tap group
+    (regression for the silent-wrong-output sizing bug)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 512, 1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 1, 16)) * 0.3, jnp.float32)
+    z = jnp.zeros((16,), jnp.float32)
+    o = jnp.ones((16,), jnp.float32)
+    expect = reference_block(x, w, z, o, z, z, o, 1e-3, 16)
+    out = pallas_conv_block0(x, w, z, o, z, z, o, 1e-3, pool=16,
+                             block_rows=2, t_chunk=32, interpret=True,
+                             out_dtype=jnp.float32, gemm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)

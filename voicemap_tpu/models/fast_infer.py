@@ -34,15 +34,19 @@ def _xla_block(x, blk, bst, pool, dilation, eps, cdt):
     y = y.astype(cdt)
     if pool > 1:
         B, T, C = y.shape
-        y = y.reshape(B, T // pool, pool, C).max(axis=2)
+        # nn.max_pool semantics (VALID): floor — drop the tail remainder.
+        t_full = (T // pool) * pool
+        y = y[:, :t_full].reshape(B, T // pool, pool, C).max(axis=2)
     return y
 
 
-def block0_pallas_eligible(cfg: EncoderConfig) -> bool:
+def block0_pallas_eligible(cfg: EncoderConfig, x: jnp.ndarray) -> bool:
+    t = x.shape[1]
     return (
         jax.default_backend() == "tpu"
         and cfg.dilations[0] == 1
-        and cfg.kernel_sizes[0] >= 1
+        and x.shape[-1] == 1  # the kernel is Cin=1 only
+        and t % cfg.pool_sizes[0] == 0
     )
 
 
@@ -53,7 +57,7 @@ def fast_embed(variables: dict, cfg: EncoderConfig, x: jnp.ndarray) -> jnp.ndarr
     cdt = _DTYPES[cfg.compute_dtype]
     h = x
     start = 0
-    if block0_pallas_eligible(cfg):
+    if block0_pallas_eligible(cfg, x):
         from ..ops.pallas_conv import pallas_conv_block0
 
         blk = params["block_0"]

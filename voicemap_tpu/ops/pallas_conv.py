@@ -65,7 +65,11 @@ def stacked_weights(
     assert cin == 1, "block-0 kernel is Cin=1 only"
     reach = k - 1
     win = reach + pool
-    rows_pad = _ceil_to(win, 8)
+    # Scratch must cover every full pool-group of window taps (n_q groups of
+    # `pool` rows) — sizing by win alone silently drops taps when
+    # pool*ceil(win/pool) > ceil8(win) (e.g. pool=16, k=2).
+    n_q = -(-win // pool)
+    rows_pad = _ceil_to(max(win, pool * n_q), 8)
     wf = w[:, 0, :].astype(jnp.float32)
     w4 = jnp.zeros((rows_pad, pool * c), jnp.float32)
     for m in range(win):
@@ -115,10 +119,9 @@ def _kernel(
         for ch in range(t_out_pad // t_ch):
             base = ch * t_ch
             for q in range(n_q):
-                if pool * q + pool <= rows_pad:
-                    fst_ref[pl.ds(pool * q, pool), :] = rolled[q][
-                        row * pool : (row + 1) * pool, base : base + t_ch
-                    ].astype(gemm_dtype)
+                fst_ref[pl.ds(pool * q, pool), :] = rolled[q][
+                    row * pool : (row + 1) * pool, base : base + t_ch
+                ].astype(gemm_dtype)
             f = fst_ref[:].T  # (t_ch, rows_pad) — in-VMEM transpose
             # bf16 operands (production): one MXU pass instead of the 3+
             # passes an f32 matmul costs on v5e; accumulation stays f32.

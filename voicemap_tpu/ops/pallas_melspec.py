@@ -117,8 +117,6 @@ def pallas_log_mel(
     # Shrink the batch block to divide B (model init probes with batch 1).
     while block_rows > 1 and B % block_rows:
         block_rows //= 2
-    if B % block_rows:
-        block_rows = 1
     n_frames = melspec.num_frames(T, cfg)
     C, S, fb = _bases(cfg, sample_rate)
     x = x.astype(jnp.float32)

@@ -6,10 +6,11 @@ here, but the wiring is standard and kept ready:
 
 - ``initialize()`` wraps ``jax.distributed.initialize`` (coordinator
   discovery via env or explicit args) and is a no-op on a single process;
-- ``global_mesh()`` builds a mesh over *all* processes' devices with the
-  data axis laid out so DP gradient reductions ride ICI within a slice and
-  only cross DCN between slices (device order from
-  ``mesh_utils.create_device_mesh`` which is ICI-topology-aware).
+- ``global_mesh()`` builds a mesh over *all* processes' devices, ordered by
+  ``mesh_utils.create_device_mesh`` (ICI-topology-aware within a slice).
+  NOTE: for true multi-*slice* (DCN-connected) deployments the slice-major
+  layout guarantee requires ``mesh_utils.create_hybrid_device_mesh`` with the
+  per-slice shape — wire that in when a multi-slice environment exists.
 
 Everything else in :mod:`voicemap_tpu.parallel` is mesh-size and
 process-count agnostic (shard_map over named axes), so multi-host enablement
@@ -38,13 +39,16 @@ def initialize(
     )
     if num <= 1:
         return False
+    if process_id is None:
+        env_pid = os.environ.get("VOICEMAP_PROCESS_ID")
+        # None lets jax auto-detect from the cluster environment; defaulting
+        # to 0 would make every host claim process 0.
+        process_id = int(env_pid) if env_pid is not None else None
     jax.distributed.initialize(
         coordinator_address=coordinator_address
         or os.environ.get("VOICEMAP_COORDINATOR"),
         num_processes=num,
-        process_id=process_id
-        if process_id is not None
-        else int(os.environ.get("VOICEMAP_PROCESS_ID", "0")),
+        process_id=process_id,
     )
     return True
 
