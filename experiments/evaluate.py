@@ -37,6 +37,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
     p.add_argument("--max-store-seconds", type=float, default=30.0)
+    p.add_argument("--fast", action="store_true",
+                   help="embed with the Pallas fused-conv inference forward (TPU)")
     return p.parse_args()
 
 
@@ -90,7 +92,7 @@ def main():
 
     acc = nshot.evaluate(
         model, state, store, cfg, jax.random.PRNGKey(args.seed),
-        num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way,
+        num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way, fast=args.fast,
     )
     stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / args.num_tasks)
     print(

@@ -146,3 +146,32 @@ def test_contrastive_siamese_evaluates_by_embedding(corpus_root):
     acc = nshot.evaluate(model, state, store, cfg, jax.random.PRNGKey(1),
                          num_tasks=200, n=1, k=2, embed_batch=16)
     assert acc > 0.55, f"contrastive eval below chance: {acc}"
+
+
+def test_evaluate_fast_path_matches(corpus_root):
+    """fast=True (fused inference forward) ≈ standard eval on CPU (exact:
+    the CPU fallback is the same XLA math)."""
+    from voicemap_tpu.config import DataConfig, EncoderConfig, ExperimentConfig
+    from voicemap_tpu.data.dataset import SpeakerDataset
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = ExperimentConfig(
+        mode="classifier",
+        data=DataConfig(data_root=corpus_root, subsets=("dev-clean",),
+                        seconds=1.0, downsampling=4),
+        encoder=EncoderConfig(filters=8, embedding_dim=16,
+                              compute_dtype="float32"),
+    )
+    ds = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                        data_root=corpus_root)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    key = jax.random.PRNGKey(3)
+    a1 = nshot.evaluate(model, state, store, cfg, key, num_tasks=100, n=1, k=3,
+                        embed_batch=16)
+    a2 = nshot.evaluate(model, state, store, cfg, key, num_tasks=100, n=1, k=3,
+                        embed_batch=16, fast=True)
+    assert abs(a1 - a2) < 1e-6

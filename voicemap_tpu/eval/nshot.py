@@ -37,15 +37,28 @@ from ..train.state import TrainState
 
 
 @functools.lru_cache(maxsize=32)
-def _embed_chunk_fn(model, cfg: ExperimentConfig):
+def _embed_chunk_fn(model, cfg: ExperimentConfig, fast: bool = False):
     """Build-once jitted chunk embedder (flax modules and the frozen config
     are hashable, so the jit cache survives across evaluate() calls — a fresh
-    closure per call would re-trace and re-compile at every periodic eval)."""
+    closure per call would re-trace and re-compile at every periodic eval).
+
+    ``fast=True`` uses the Pallas fused-conv inference forward
+    (models/fast_infer.fast_embed) for raw-waveform encoders — bf16-level
+    deviation from the training graph, ~1.7× faster embedding at scale.
+    """
 
     @jax.jit
     def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
         x = fetch_batch(sto, indices, jax.random.PRNGKey(0), cfg, stochastic=False)
         variables = {"params": st.params, "batch_stats": st.batch_stats}
+        if fast and cfg.mode in ("classifier", "siamese"):
+            from ..models.fast_infer import fast_embed
+
+            enc_vars = {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            }
+            return fast_embed(enc_vars, cfg.encoder, x)
         return model.apply(variables, x, train=False, method=model.embed)
 
     return embed_chunk
@@ -57,9 +70,10 @@ def embed_all(
     store: DeviceStore,
     cfg: ExperimentConfig,
     batch_size: int = 256,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Embed every utterance in the store → (N, D) table (chunked, jitted)."""
-    embed_chunk = _embed_chunk_fn(model, cfg)
+    embed_chunk = _embed_chunk_fn(model, cfg, fast)
     N = store.labels.shape[0]
     chunks = []
     for start in range(0, N, batch_size):
@@ -159,6 +173,7 @@ def evaluate(
     n: Optional[int] = None,
     k: Optional[int] = None,
     embed_batch: int = 256,
+    fast: bool = False,
 ) -> float:
     """Full n-shot evaluation: embed table once, score all tasks at once."""
     t = cfg.train
@@ -175,7 +190,7 @@ def evaluate(
             f"n_shot={n} needs ≥{n + 1} utterances per speaker; "
             f"minimum in the eval store is {int(counts.min())}"
         )
-    table = embed_all(model, state, store, cfg, batch_size=embed_batch)
+    table = embed_all(model, state, store, cfg, batch_size=embed_batch, fast=fast)
     # Contrastive training optimizes embedding euclidean distances and never
     # trains the Dense(1) head — scoring with the (random-init) head could
     # even invert rankings, so evaluate by embedding distance instead.
