@@ -47,6 +47,10 @@ def parse_args():
                    help="use the deeper dilated conv stack (BASELINE config #3)")
     p.add_argument("--melspec", action="store_true",
                    help="log-mel frontend + 2D-CNN embedder (BASELINE config #4)")
+    p.add_argument("--mel-geometry", default="librosa",
+                   choices=["librosa", "tpu"],
+                   help="librosa = hop 160/win 400 (pre-framed Pallas path); "
+                        "tpu = hop 128/win 384 (fully fused in-kernel framing)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic corpus under --data-root first")
     p.add_argument("--synthetic-speakers", type=int, default=20)
@@ -89,9 +93,12 @@ def main():
         )
 
     mode = "melspec2d" if args.melspec else "classifier"
+    mel = (C.MelConfig(hop_length=128, win_length=384)
+           if args.mel_geometry == "tpu" else C.MelConfig())
     cfg = C.ExperimentConfig(
         name=mode,
         mode=mode,
+        mel=mel,
         data=C.DataConfig(
             data_root=args.data_root,
             subsets=tuple(args.subsets),
