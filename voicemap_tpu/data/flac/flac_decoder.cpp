@@ -156,6 +156,30 @@ struct FrameHeader {
   bool variable_blocksize = false;
 };
 
+// Read at most max_bytes (0 = whole file). The STREAMINFO probe only needs
+// the metadata header, so cold-start indexing avoids reading full files.
+bool read_file_prefix(const char* path, std::vector<uint8_t>* out,
+                      size_t max_bytes) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) {
+    set_error(std::string("cannot open ") + path);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  size_t want = static_cast<size_t>(sz);
+  if (max_bytes && want > max_bytes) want = max_bytes;
+  out->resize(want);
+  size_t got = want ? std::fread(out->data(), 1, want, f) : 0;
+  std::fclose(f);
+  if (got != want) {
+    set_error(std::string("short read on ") + path);
+    return false;
+  }
+  return true;
+}
+
 bool read_file(const char* path, std::vector<uint8_t>* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) {
@@ -626,11 +650,17 @@ const char* vm_flac_last_error() { return g_error.c_str(); }
 
 int vm_flac_probe(const char* path, int64_t* n_samples, int* sample_rate,
                   int* channels, int* bps) {
+  // Header-only read first (64 KB covers STREAMINFO + typical metadata);
+  // fall back to the full file if metadata blocks overrun the prefix.
   std::vector<uint8_t> file;
-  if (!read_file(path, &file)) return -1;
+  if (!read_file_prefix(path, &file, 64 * 1024)) return -1;
   BitReader br{file.data(), file.size()};
   StreamInfo si;
-  if (!parse_streaminfo(&br, &si)) return -1;
+  if (!parse_streaminfo(&br, &si)) {
+    if (!read_file(path, &file)) return -1;
+    br = BitReader{file.data(), file.size()};
+    if (!parse_streaminfo(&br, &si)) return -1;
+  }
   *n_samples = static_cast<int64_t>(si.total_samples);
   *sample_rate = static_cast<int>(si.sample_rate);
   *channels = si.channels;
