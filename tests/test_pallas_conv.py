@@ -72,3 +72,25 @@ def test_pallas_block0_large_pool_small_kernel():
                              out_dtype=jnp.float32, gemm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,C,Cout,T", [(3, 8, 16, 128), (3, 16, 8, 250),
+                                        (5, 8, 8, 64)])
+def test_pallas_blockn_matches_xla(k, C, Cout, T):
+    from voicemap_tpu.ops.pallas_conv import pallas_conv_blockn
+
+    rng = np.random.default_rng(3)
+    B = 3
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, C, Cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, Cout), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, Cout), jnp.float32)
+    expect = reference_block(x, w, b, scale, bias, mean, var, 1e-3, 2)
+    out = pallas_conv_blockn(x, w, b, scale, bias, mean, var, 1e-3, pool=2,
+                             t_chunk=16, interpret=True,
+                             out_dtype=jnp.float32, gemm_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)

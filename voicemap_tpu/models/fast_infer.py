@@ -7,10 +7,11 @@ conv+relu+BN+pool in VMEM (12.3 ms, 2.2×); blocks 1+ have Cin ≥ 128 and are
 compute-bound where XLA's conv emitter is already efficient, so they run as
 plain lax ops from the same flax variables.
 
-Inference only (BN running stats); property-tested against
-``ConvEncoder.apply`` and used by the headline benchmark. Falls back to the
-standard forward when block 0 is not Pallas-eligible (Cin≠1 / dilation≠1 /
-non-TPU backend).
+Blocks 1+ (k=3, pool=2, Cin≥128) use the pair-merge pooled-GEMM kernel
+(``pallas_conv_blockn``) on TPU; anything not kernel-eligible (dilated, pool
+≠2, odd time axis, non-TPU backend) falls back to plain lax ops from the
+same flax variables. Inference only (BN running stats); property-tested
+against ``ConvEncoder.apply`` and used by the headline benchmark.
 """
 
 from __future__ import annotations
@@ -77,6 +78,13 @@ def fast_embed(variables: dict, cfg: EncoderConfig, x: jnp.ndarray) -> jnp.ndarr
         )
         start = 1
     for i in range(start, len(cfg.filter_multipliers)):
+        # Blocks 1+ stay on the XLA emitter: they are ~74% MXU-efficient
+        # (compute-bound, Cin≥128) and the pair-merge Pallas kernel
+        # (ops/pallas_conv.pallas_conv_blockn — correct, oracle-tested) is
+        # slower in its current per-row-grid form (142 ms vs 62 ms full
+        # encoder @ B=2048: the (T, 2C) f32 input block per grid step
+        # dominates). Winning would need chunked HBM DMA streaming of the
+        # input — round-2 work recorded in CLAUDE.md.
         h = _xla_block(
             h,
             params[f"block_{i}"],

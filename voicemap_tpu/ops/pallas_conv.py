@@ -211,3 +211,142 @@ def pallas_conv_block0(
         interpret=interpret,
     )(x4t, w4, aff)
     return out[:, :t_out, :]
+
+
+# ---------------------------------------------------------------------------
+# Later blocks: Cin = C (≥128), odd kernel k, pool 2 — the pair-merge trick
+# ---------------------------------------------------------------------------
+
+def stacked_weights_chan(w: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """w (k, Cin, C') → W4 (win·Cin, pool·C'), W4[m·Cin+ci, j·C'+c'] = w[m−j]."""
+    k, cin, cout = w.shape
+    win = (k - 1) + pool
+    wf = w.astype(jnp.float32)
+    w4 = jnp.zeros((win * cin, pool * cout), jnp.float32)
+    for m in range(win):
+        for j in range(pool):
+            i = m - j
+            if 0 <= i < k:
+                w4 = w4.at[m * cin : (m + 1) * cin,
+                           j * cout : (j + 1) * cout].set(wf[i])
+    return w4
+
+
+def _kernel_chan(
+    in2_ref,  # (1, P2, 2C) f32 — pair-merged, SAME-padded input (one row)
+    w4_ref,  # (win*C, pool*C') f32
+    aff_ref,  # (3, pool*C') f32
+    o_ref,  # (1, t_out_pad, C') out_dtype
+    f_ref,  # scratch (t_ch, n_slices*2C) gemm_dtype — the frame matrix
+    *,
+    pool: int,
+    n_slices: int,  # win // 2 pair-merged slices
+    t_out_pad: int,
+    t_ch: int,
+    c_out: int,
+    gemm_dtype,
+):
+    bias = aff_ref[0, :]
+    mul = aff_ref[1, :]
+    add = aff_ref[2, :]
+    in2 = in2_ref[0].astype(gemm_dtype)  # (P2, 2C)
+    c2 = in2.shape[1]
+    for ch in range(t_out_pad // t_ch):
+        base = ch * t_ch
+        # F (t_ch, win·C): sublane-shifted slices written at 128-aligned lane
+        # offsets through a scratch ref — a value-level concat cannot mix
+        # sublane offsets ("offset mismatch on non-concat dimension").
+        for s in range(n_slices):
+            f_ref[:, s * c2 : (s + 1) * c2] = in2[base + s : base + s + t_ch, :]
+        y = jnp.dot(f_ref[:], w4_ref[:].astype(gemm_dtype),
+                    preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y + bias[None, :]) * mul[None, :] + add[None, :]
+        out = y[:, :c_out]
+        for j in range(1, pool):
+            out = jnp.maximum(out, y[:, j * c_out : (j + 1) * c_out])
+        o_ref[0, base : base + t_ch, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pool", "t_chunk", "interpret", "out_dtype", "gemm_dtype"),
+)
+def pallas_conv_blockn(
+    x: jnp.ndarray,  # (B, T, C) activations, T even
+    w: jnp.ndarray,  # (k, C, C') conv kernel, k odd
+    b: jnp.ndarray,
+    bn_scale: jnp.ndarray,
+    bn_bias: jnp.ndarray,
+    bn_mean: jnp.ndarray,
+    bn_var: jnp.ndarray,
+    bn_eps: float = 1e-3,
+    pool: int = 2,
+    t_chunk: int = 256,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    gemm_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused conv(SAME,k odd)+relu+BN(inference)+maxpool(2) for Cin≥1 blocks.
+
+    The pooled-frame matrix comes from the pair-merged view
+    ``in2 = pad(x).reshape(T/2+…, 2C)`` — each pooled position's window of
+    ``k+1`` input rows is exactly ``win/2`` consecutive in2 rows, so framing
+    is ``win/2`` sublane-shifted slices written at 128-aligned lane offsets
+    (all probed-supported Mosaic ops). One MXU matmul per chunk against the
+    phase-stacked weights; only the pool-rate activation leaves VMEM.
+    """
+    if pool != 2:
+        raise ValueError("pair-merge kernel supports pool=2")
+    B, T, c_in = x.shape
+    k, _ci, c_out = w.shape
+    if k % 2 == 0:
+        raise ValueError("kernel size must be odd for this path")
+    if T % 2:
+        raise ValueError("T must be even")
+    t_out = T // pool
+    t_out_pad = _ceil_to(t_out, t_chunk)
+    win = (k - 1) + pool
+    n_slices = win // 2
+    pad_l = (k - 1) // 2
+    # in_padded[i] = x[i - pad_l]; length covers the last chunk's window.
+    total = 2 * (t_out_pad + n_slices)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (pad_l, total - T - pad_l), (0, 0)))
+    in2 = xp.reshape(B, total // 2, 2 * c_in)
+    w4 = stacked_weights_chan(w, pool)
+    inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + bn_eps) * bn_scale
+    aff = jnp.stack(
+        [
+            jnp.tile(b.astype(jnp.float32), pool),
+            jnp.tile(inv.astype(jnp.float32), pool),
+            jnp.tile((bn_bias - bn_mean * inv).astype(jnp.float32), pool),
+        ]
+    )
+    kernel = functools.partial(
+        _kernel_chan,
+        pool=pool,
+        n_slices=n_slices,
+        t_out_pad=t_out_pad,
+        t_ch=t_chunk,
+        c_out=c_out,
+        gemm_dtype=gemm_dtype,
+    )
+    P2 = in2.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P2, 2 * c_in), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w4.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(aff.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_out_pad, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, t_out_pad, c_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_chunk, n_slices * 2 * c_in), gemm_dtype)
+        ],
+        interpret=interpret,
+    )(in2, w4, aff)
+    return out[:, :t_out, :]
