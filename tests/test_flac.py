@@ -190,3 +190,41 @@ def test_flac_synthetic_corpus(tmp_path):
     assert frag.shape == (ds.fragment_length, 1)
     store = ds.to_store()
     assert store.audio.shape[0] == 9
+
+def test_stereo_batch_matches_single(tmp_path):
+    # DecodeCache picks between read() and read_batch() by batch size; a
+    # stereo file must yield the identical downmixed-mono waveform on both.
+    L = make_signal(seed=40)
+    R = make_signal(seed=41)
+    st = np.stack([L, R], axis=1)
+    mono = make_signal(n=7000, seed=42)
+    p_st = str(tmp_path / "sb.flac")
+    p_mo = str(tmp_path / "mb.flac")
+    flac_ext.write(p_st, st, 16000, mode="fixed")
+    flac_ext.write(p_mo, mono, 16000)
+    single, _ = flac_ext.read(p_st)
+    batch = flac_ext.read_batch([p_st, p_mo], n_threads=2)
+    np.testing.assert_array_equal(batch[0], single)
+    np.testing.assert_array_equal(batch[1], mono)
+    assert len(single) == len(L)  # per-channel duration, not interleaved/2
+
+
+def test_byte_fuzz_no_crash(tmp_path):
+    # Corrupt streams must produce a clean IOError (or decode), never heap
+    # corruption: exercises the order>part_len / order>block_size /
+    # interleaved-capacity guards in flac_decoder.cpp.
+    x = make_signal(n=5000, seed=50)
+    p = str(tmp_path / "fz.flac")
+    flac_ext.write(p, x, 16000)
+    orig = open(p, "rb").read()
+    rng = np.random.default_rng(7)
+    q = str(tmp_path / "fz2.flac")
+    for _ in range(60):
+        buf = bytearray(orig)
+        for _ in range(int(rng.integers(1, 6))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        open(q, "wb").write(bytes(buf))
+        try:
+            flac_ext.read(q)
+        except IOError:
+            pass

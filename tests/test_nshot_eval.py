@@ -175,3 +175,31 @@ def test_evaluate_fast_path_matches(corpus_root):
     a2 = nshot.evaluate(model, state, store, cfg, key, num_tasks=100, n=1, k=3,
                         embed_batch=16, fast=True)
     assert abs(a1 - a2) < 1e-6
+
+def test_siamese_nshot_same_label_one_flips_selection():
+    """same_label=1 ⇒ higher logit means same speaker ⇒ argmax selection.
+
+    Negating (w, b) negates every score, so argmax under same_label=1 must
+    pick exactly what argmin picks under same_label=0 — accuracies equal.
+    """
+    speaker_utts, counts, labels = toy_index(n_speakers=8, utts=5)
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.standard_normal((40, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 1)), jnp.float32)
+    b = jnp.asarray(0.3, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    a0 = nshot.siamese_nshot_accuracy(
+        table, w, b, speaker_utts, counts, key, 200, 1, 4,
+        metric="weighted_l1", same_label=0,
+    )
+    a1 = nshot.siamese_nshot_accuracy(
+        table, -w, -b, speaker_utts, counts, key, 200, 1, 4,
+        metric="weighted_l1", same_label=1,
+    )
+    assert float(a0) == float(a1)
+    # And with the same (w, b), flipping the convention changes the picks.
+    a_flip = nshot.siamese_nshot_accuracy(
+        table, w, b, speaker_utts, counts, key, 200, 1, 4,
+        metric="weighted_l1", same_label=1,
+    )
+    assert float(a_flip) != float(a0)

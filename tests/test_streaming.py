@@ -117,3 +117,43 @@ def test_producer_error_surfaces(corpus_root, ds):
                 next(p)
     finally:
         p.close()
+
+def test_siamese_stream_honors_same_label(corpus_root, ds):
+    cfg = _cfg(corpus_root, mode="siamese")
+    cfg = dataclasses.replace(cfg, siamese=SiameseConfig(same_label=1))
+    p = StreamingPipeline(ds, cfg, mode="siamese", seed=5)
+    try:
+        _, _, y = next(p)
+        np.testing.assert_array_equal(y[:4], 1.0)  # alike pairs
+        np.testing.assert_array_equal(y[4:], 0.0)  # differing pairs
+    finally:
+        p.close()
+
+
+def test_cut_raises_on_short_file_without_pad(corpus_root, ds):
+    # fragment longer than every corpus file + pad=False must fail loudly
+    # (the reference's pad=False assertion), not silently zero-pad.
+    cfg = _cfg(corpus_root)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, seconds=60.0)
+    )
+    assert not cfg.data.pad
+    p = StreamingPipeline(ds, cfg, mode="classifier", seed=6)
+    try:
+        with pytest.raises(RuntimeError):
+            next(p)
+    finally:
+        p.close()
+
+
+def test_cut_pads_short_file_with_pad(corpus_root, ds):
+    cfg = _cfg(corpus_root)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, seconds=60.0, pad=True)
+    )
+    p = StreamingPipeline(ds, cfg, mode="classifier", seed=6)
+    try:
+        frags, _ = next(p)
+        assert frags.shape == (8, cfg.data.fragment_length)
+    finally:
+        p.close()

@@ -429,6 +429,13 @@ bool decode_residual(BitReader* br, uint32_t block_size, int predictor_order,
     return false;
   }
   uint32_t part_len = block_size >> partition_order;
+  // Partition 0's residual count is part_len - order; a crafted stream with
+  // order > part_len would underflow the uint32 count into an unbounded
+  // out[idx++] loop.
+  if (static_cast<uint32_t>(predictor_order) > part_len) {
+    set_error("predictor order exceeds partition length");
+    return false;
+  }
   uint32_t idx = predictor_order;
   for (uint32_t p = 0; p < partitions; ++p) {
     uint32_t count = part_len - (p == 0 ? predictor_order : 0);
@@ -506,6 +513,10 @@ bool decode_subframe(BitReader* br, uint32_t block_size, int bps,
       set_error("invalid FIXED order");
       return false;
     }
+    if (static_cast<uint32_t>(order) > block_size) {
+      set_error("FIXED order exceeds block size");
+      return false;
+    }
     for (int i = 0; i < order; ++i) {
       int64_t v;
       if (!br->read_signed(eff_bps, &v)) return false;
@@ -520,6 +531,12 @@ bool decode_subframe(BitReader* br, uint32_t block_size, int bps,
     }
   } else if (type & 0x20u) {  // LPC, order-1 in low 5 bits
     int order = static_cast<int>(type & 0x1Fu) + 1;
+    // Warm-up samples write out[0..order); out only holds block_size slots
+    // (LPC order reaches 32, a crafted header can claim a smaller block).
+    if (static_cast<uint32_t>(order) > block_size) {
+      set_error("LPC order exceeds block size");
+      return false;
+    }
     for (int i = 0; i < order; ++i) {
       int64_t v;
       if (!br->read_signed(eff_bps, &v)) return false;
@@ -624,8 +641,11 @@ int64_t decode_stream(const std::vector<uint8_t>& file, int16_t* out,
       }
     }
     if (out) {
+      // capacity counts interleaved int16 slots; the write below touches
+      // indices up to (written + i) * nch + nch - 1, so the per-channel
+      // check alone would let stereo streams run ~2x past the buffer.
       for (uint32_t i = 0; i < fh.block_size; ++i) {
-        if (written + static_cast<int64_t>(i) >= capacity) {
+        if ((written + static_cast<int64_t>(i)) * nch + nch - 1 >= capacity) {
           set_error("output capacity exceeded");
           return -1;
         }
@@ -681,9 +701,12 @@ int64_t vm_flac_decode(const char* path, int16_t* out, int64_t capacity,
 }
 
 // Parallel batch decode: one worker pool over n files. outs[i] has caps[i]
-// int16 capacity (samples*channels); lens[i] receives samples/channel or -1.
+// int16 capacity (samples*channels); lens[i] receives samples/channel or -1;
+// chans[i] receives the channel count (the caller downmixes interleaved
+// multi-channel output, matching the single-file read path).
 int vm_flac_decode_batch(const char** paths, int64_t n, int16_t** outs,
-                         const int64_t* caps, int64_t* lens, int n_threads) {
+                         const int64_t* caps, int64_t* lens, int* chans,
+                         int n_threads) {
   if (n_threads <= 0) n_threads = static_cast<int>(std::thread::hardware_concurrency());
   if (n_threads < 1) n_threads = 1;
   std::atomic<int64_t> next(0);
@@ -692,9 +715,10 @@ int vm_flac_decode_batch(const char** paths, int64_t n, int16_t** outs,
     for (;;) {
       int64_t i = next.fetch_add(1);
       if (i >= n) break;
-      int sr, ch;
+      int sr, ch = 0;
       int64_t got = vm_flac_decode(paths[i], outs[i], caps[i], &sr, &ch);
       lens[i] = got;
+      chans[i] = got < 0 ? 0 : ch;
       if (got < 0) failures.fetch_add(1);
     }
   };

@@ -76,6 +76,7 @@ def _load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int,
     ]
     lib.vm_flac_last_error.restype = ctypes.c_char_p
@@ -87,8 +88,8 @@ def _error(lib) -> str:
     return lib.vm_flac_last_error().decode("utf-8", "replace")
 
 
-def probe(path: str) -> Tuple[int, int]:
-    """(n_samples_per_channel, sample_rate) from STREAMINFO only."""
+def _probe_full(path: str) -> Tuple[int, int, int]:
+    """(n_samples_per_channel, sample_rate, channels) from STREAMINFO only."""
     lib = _load()
     n = ctypes.c_int64()
     sr = ctypes.c_int()
@@ -98,7 +99,13 @@ def probe(path: str) -> Tuple[int, int]:
                            ctypes.byref(ch), ctypes.byref(bps))
     if rc != 0:
         raise IOError(f"FLAC probe failed for {path}: {_error(lib)}")
-    return int(n.value), int(sr.value)
+    return int(n.value), int(sr.value), int(ch.value)
+
+
+def probe(path: str) -> Tuple[int, int]:
+    """(n_samples_per_channel, sample_rate) from STREAMINFO only."""
+    n, sr, _ch = _probe_full(path)
+    return n, sr
 
 
 def read(path: str) -> Tuple[np.ndarray, int]:
@@ -131,14 +138,21 @@ def read(path: str) -> Tuple[np.ndarray, int]:
 def read_batch(
     paths: Sequence[str], n_threads: int = 0
 ) -> List[np.ndarray]:
-    """Decode many mono files in parallel C++ threads (GIL released once)."""
+    """Decode many files in parallel C++ threads (GIL released once).
+
+    Multi-channel files are mean-downmixed to mono, identical to ``read``,
+    so DecodeCache's path choice (batch vs single) can never change the
+    waveform a file yields.
+    """
     lib = _load()
     n = len(paths)
     bufs = []
     caps = np.empty(n, dtype=np.int64)
     for i, p in enumerate(paths):
-        ns, _ = probe(p)
-        cap = (ns if ns > 0 else 16000 * 600) * 2
+        ns, _, nch = _probe_full(p)
+        # capacity counts interleaved int16 slots; 2x headroom on top of the
+        # channel count covers streams whose STREAMINFO undercounts.
+        cap = (ns if ns > 0 else 16000 * 600) * max(1, nch) * 2
         bufs.append(np.empty(cap, dtype=np.int16))
         caps[i] = cap
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -146,19 +160,28 @@ def read_batch(
         *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for b in bufs]
     )
     lens = np.empty(n, dtype=np.int64)
+    chans = np.empty(n, dtype=np.int32)
     rc = lib.vm_flac_decode_batch(
         c_paths,
         n,
         c_outs,
         caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        chans.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         int(n_threads),
     )
     if rc != 0:
         bad = [paths[i] for i in range(n) if lens[i] < 0]
         raise IOError(f"FLAC batch decode failed for {bad[:3]}{'…' if len(bad) > 3 else ''}: "
                       f"{_error(lib)}")
-    return [bufs[i][: lens[i]] for i in range(n)]
+    out = []
+    for i in range(n):
+        nch = int(chans[i])
+        data = bufs[i][: int(lens[i]) * nch]
+        if nch > 1:
+            data = data.reshape(-1, nch).mean(axis=1).astype(np.int16)
+        out.append(data)
+    return out
 
 
 def write(path: str, data: np.ndarray, sample_rate: int, **kw) -> None:

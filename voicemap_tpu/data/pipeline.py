@@ -130,8 +130,13 @@ class StreamingPipeline:
                     else 0
                 )
                 out[i] = wav[start : start + self.frag]
-            else:
+            elif self.cfg.data.pad:
                 out[i, : len(wav)] = wav  # zero-pad short files (pad mode)
+            else:
+                raise ValueError(
+                    f"file shorter than fragment ({len(wav)} < {self.frag}) "
+                    "with pad=False; enable DataConfig.pad or drop short files"
+                )
         return out
 
     def _classifier_batch(self) -> Batch:
@@ -160,8 +165,12 @@ class StreamingPipeline:
         ids2 = np.asarray([b for _, b in alike + differ])
         w1 = self.cache.get_many(ids1)
         w2 = self.cache.get_many(ids2)
+        same = float(self.cfg.siamese.same_label)
         labels = np.concatenate(
-            [np.zeros(half, np.float32), np.ones(self.B - half, np.float32)]
+            [
+                np.full(half, same, np.float32),
+                np.full(self.B - half, 1.0 - same, np.float32),
+            ]
         )
         return self._cut(w1), self._cut(w2), labels
 

@@ -115,7 +115,7 @@ def classifier_nshot_accuracy(
     return jnp.mean((pred == 0).astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_tasks", "n", "k", "metric"))
+@partial(jax.jit, static_argnames=("num_tasks", "n", "k", "metric", "same_label"))
 def siamese_nshot_accuracy(
     table: jnp.ndarray,
     head_w: jnp.ndarray,
@@ -127,11 +127,14 @@ def siamese_nshot_accuracy(
     n: int,
     k: int,
     metric: str = "uniform_euclidean",
+    same_label: int = 0,
 ) -> jnp.ndarray:
-    """Verification-head n-shot accuracy (argmin of head logits).
+    """Verification-head n-shot accuracy (argmin/argmax of head logits).
 
     Matrix form of the reference's ``model.predict([tile(query, k·n),
     support])`` + argmin loop. ``head_w``/``head_b`` are the Dense(1) params.
+    With ``same_label=0`` (reference convention) a lower logit means "same
+    speaker" → argmin; with ``same_label=1`` higher means same → argmax.
     """
     tasks = sampling.sample_nshot_tasks(
         key, speaker_utts, speaker_counts, num_tasks, n, k
@@ -159,7 +162,10 @@ def siamese_nshot_accuracy(
     else:
         raise ValueError(metric)
     class_scores = dist_ops.class_distances(scores, n, k)  # (tasks, k)
-    pred = jnp.argmin(class_scores, axis=-1)
+    if same_label == 0:
+        pred = jnp.argmin(class_scores, axis=-1)
+    else:
+        pred = jnp.argmax(class_scores, axis=-1)
     return jnp.mean((pred == 0).astype(jnp.float32))
 
 
@@ -212,6 +218,7 @@ def evaluate(
             n,
             k,
             metric=cfg.siamese.distance_metric,
+            same_label=cfg.siamese.same_label,
         )
     else:
         acc = classifier_nshot_accuracy(

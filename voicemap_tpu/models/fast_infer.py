@@ -7,11 +7,13 @@ conv+relu+BN+pool in VMEM (12.3 ms, 2.2×); blocks 1+ have Cin ≥ 128 and are
 compute-bound where XLA's conv emitter is already efficient, so they run as
 plain lax ops from the same flax variables.
 
-Blocks 1+ (k=3, pool=2, Cin≥128) use the pair-merge pooled-GEMM kernel
-(``pallas_conv_blockn``) on TPU; anything not kernel-eligible (dilated, pool
-≠2, odd time axis, non-TPU backend) falls back to plain lax ops from the
-same flax variables. Inference only (BN running stats); property-tested
-against ``ConvEncoder.apply`` and used by the headline benchmark.
+Blocks 1+ always run on the XLA emitter here. The pair-merge pooled-GEMM
+kernel (``ops/pallas_conv.pallas_conv_blockn``) is built and oracle-tested
+but benches slower than XLA in its per-row-grid form (142 ms vs 62 ms full
+encoder @ B=2048), so the fast path does not use it — see the inline note at
+the block loop and CLAUDE.md's round-2 plan. Inference only (BN running
+stats); property-tested against ``ConvEncoder.apply`` and used by the
+headline benchmark.
 """
 
 from __future__ import annotations
