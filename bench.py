@@ -15,23 +15,84 @@ Keras-CPU data path). North star: ≥50× (BASELINE.json).
 """
 
 import argparse
+import hashlib
 import json
+import os
 import statistics
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-# CPU reference-pipeline baseline, measured in-sandbox with
-# `python bench.py --cpu-baseline` (see BASELINE.md for the record).
-CPU_BASELINE_UTT_PER_SEC = 41.32
-
 SECONDS = 3.0
 SR = 16000
 DOWNSAMPLING = 4
 FRAG = int(SECONDS * SR)
 STORE_T = FRAG + 8000  # slack so offsets exercise the dynamic-slice path
+
+# CPU reference-pipeline baseline lives in a measurement record with its
+# provenance (value + date + command + config fingerprint), written by
+# `python bench.py --cpu-baseline`. The record is refused when the benched
+# configuration changes, so vs_baseline can't silently go stale.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CPU_BASELINE_PATH = os.path.join(_HERE, "benchmarks", "cpu_baseline.json")
+_BASELINE_BATCH = 32
+_BASELINE_ITERS = 10
+
+
+def _config_fingerprint() -> str:
+    """Hash of everything that defines what both bench sides measure."""
+    spec = (
+        f"seconds={SECONDS};sr={SR};ds={DOWNSAMPLING};frag={FRAG};"
+        f"store_t={STORE_T};encoder=filters128,embed64;"
+        f"baseline_batch={_BASELINE_BATCH};baseline_iters={_BASELINE_ITERS}"
+    )
+    return hashlib.sha256(spec.encode()).hexdigest()[:16]
+
+
+def write_cpu_baseline(utt_per_sec: float) -> None:
+    os.makedirs(os.path.dirname(CPU_BASELINE_PATH), exist_ok=True)
+    with open(CPU_BASELINE_PATH, "w") as f:
+        json.dump(
+            {
+                "utt_per_sec": round(utt_per_sec, 2),
+                "unit": "utterances/sec",
+                "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "command": "python bench.py --cpu-baseline",
+                "batch": _BASELINE_BATCH,
+                "iters": _BASELINE_ITERS,
+                "fingerprint": _config_fingerprint(),
+            },
+            f,
+            indent=2,
+        )
+        f.write("\n")
+
+
+def load_cpu_baseline() -> float:
+    """The recorded CPU baseline; re-measures (subprocess, CPU backend) when
+    no record exists; refuses a record whose config fingerprint is stale."""
+    if not os.path.exists(CPU_BASELINE_PATH):
+        print("# no CPU baseline record; measuring one now …", file=sys.stderr)
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            env=env, cwd=_HERE, check=True, stdout=subprocess.DEVNULL,
+        )
+    with open(CPU_BASELINE_PATH) as f:
+        rec = json.load(f)
+    if rec.get("fingerprint") != _config_fingerprint():
+        raise SystemExit(
+            f"CPU baseline record {CPU_BASELINE_PATH} was measured under a "
+            "different bench configuration (fingerprint mismatch); refresh "
+            "it with: PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu "
+            "python bench.py --cpu-baseline"
+        )
+    return float(rec["utt_per_sec"])
 
 
 def make_model_and_params(compute_dtype: str):
@@ -180,20 +241,26 @@ def main():
     args = p.parse_args()
 
     if args.cpu_baseline:
-        r = bench_cpu_baseline(args.batch_size or 32, args.iters or 10)
+        r = bench_cpu_baseline(args.batch_size or _BASELINE_BATCH,
+                               args.iters or _BASELINE_ITERS)
+        if (args.batch_size or _BASELINE_BATCH) == _BASELINE_BATCH and (
+            args.iters or _BASELINE_ITERS
+        ) == _BASELINE_ITERS:
+            write_cpu_baseline(r["utt_per_sec"])
         print(json.dumps({"metric": "cpu_baseline_utterances_per_sec",
                           "value": round(r["utt_per_sec"], 2),
                           "unit": "utterances/sec",
                           "vs_baseline": 1.0}))
         return
 
+    baseline = load_cpu_baseline()
     r = bench_device(args.batch_size or 2048, args.iters or 20,
                  use_pallas=not args.no_pallas)
     print(json.dumps({
         "metric": "utterances_per_sec_per_chip",
         "value": round(r["utt_per_sec"], 2),
         "unit": "utterances/sec (3s @ 16kHz, embed pipeline)",
-        "vs_baseline": round(r["utt_per_sec"] / CPU_BASELINE_UTT_PER_SEC, 2),
+        "vs_baseline": round(r["utt_per_sec"] / baseline, 2),
     }))
     print(f"# p50 embed latency: {r['p50_embed_ms']:.3f} ms | backend: {r['backend']}",
           file=sys.stderr)
