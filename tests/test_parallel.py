@@ -333,6 +333,33 @@ def test_pod_evaluate_matches_single_device(mesh8, dp_store, corpus_root):
     assert abs(acc_pod - acc_single) < 1e-6, (acc_pod, acc_single)
 
 
+@pytest.mark.parametrize("metric", ["weighted_l1", "uniform_euclidean"])
+def test_pod_siamese_head_eval_matches_single_device(
+    mesh8, dp_store, corpus_root, metric
+):
+    """Pod-sharded verification-head scoring == eval/nshot.py single-device
+    (BASELINE config #5's siamese branch)."""
+    import dataclasses
+
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.parallel.pod_eval import pod_evaluate
+
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "siamese")
+    cfg = dataclasses.replace(
+        cfg, siamese=SiameseConfig(distance_metric=metric)
+    )
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    state = init_model_state(model, cfg)
+    assert "head" in state.params  # head-scored path, not embedding fallback
+    key = jax.random.PRNGKey(13)
+    acc_pod = pod_evaluate(model, state, store, cfg, mesh8, key,
+                           num_tasks=160, n=2, k=3)
+    acc_single = nshot.evaluate(model, state, store, cfg, key,
+                                num_tasks=160, n=2, k=3, embed_batch=16)
+    assert abs(acc_pod - acc_single) < 1e-6, (metric, acc_pod, acc_single)
+
+
 def test_pod_sharded_embed_table_matches_dense(mesh8, dp_store, corpus_root):
     from voicemap_tpu.eval import nshot
     from voicemap_tpu.parallel.pod_eval import make_sharded_embed_table_fn

@@ -141,26 +141,7 @@ def siamese_nshot_accuracy(
     )
     q = table[tasks.query_idx]  # (tasks, D)
     s = table[tasks.support_idx].reshape(num_tasks, k * n, -1)  # (tasks, kn, D)
-    w = head_w.reshape(-1)
-    if metric == "weighted_l1":
-        diff = jnp.abs(q[:, None, :] - s)  # (tasks, kn, D)
-        scores = jnp.einsum("tpd,d->tp", diff, w) + head_b
-    elif metric == "uniform_l1":
-        d = jnp.sum(jnp.abs(q[:, None, :] - s), axis=-1)
-        scores = d * w[0] + head_b
-    elif metric == "uniform_euclidean":
-        d = jnp.sqrt(jnp.sum(jnp.square(q[:, None, :] - s), axis=-1) + 1e-12)
-        scores = d * w[0] + head_b
-    elif metric == "dot_product":
-        d = jnp.einsum("td,tpd->tp", q, s, preferred_element_type=jnp.float32)
-        scores = d * w[0] + head_b
-    elif metric == "cosine_distance":
-        qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-        sn = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
-        d = 1.0 - jnp.einsum("td,tpd->tp", qn, sn)
-        scores = d * w[0] + head_b
-    else:
-        raise ValueError(metric)
+    scores = dist_ops.head_scores(q, s, head_w, head_b, metric)
     class_scores = dist_ops.class_distances(scores, n, k)  # (tasks, k)
     if same_label == 0:
         pred = jnp.argmin(class_scores, axis=-1)

@@ -95,6 +95,38 @@ def merge_features(e1: jnp.ndarray, e2: jnp.ndarray, metric: str) -> jnp.ndarray
     raise ValueError(f"unknown distance metric: {metric}")
 
 
+def head_scores(
+    q: jnp.ndarray, s: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, metric: str
+) -> jnp.ndarray:
+    """Verification-head logits for batched n-shot tasks.
+
+    ``q`` (T, D) queries, ``s`` (T, P, D) per-task support embeddings,
+    ``w``/``b`` the Dense(1) head params → (T, P) logits. Matrix form of the
+    reference's ``model.predict([tile(query, k·n), support])`` inner loop;
+    shared by the single-device (eval/nshot.py) and pod-sharded
+    (parallel/pod_eval.py) evaluators so their scores agree bit-for-bit.
+    """
+    w = w.reshape(-1)
+    if metric == "weighted_l1":
+        diff = jnp.abs(q[:, None, :] - s)  # (T, P, D)
+        return jnp.einsum("tpd,d->tp", diff, w) + b
+    if metric == "uniform_l1":
+        d = jnp.sum(jnp.abs(q[:, None, :] - s), axis=-1)
+        return d * w[0] + b
+    if metric == "uniform_euclidean":
+        d = jnp.sqrt(jnp.sum(jnp.square(q[:, None, :] - s), axis=-1) + 1e-12)
+        return d * w[0] + b
+    if metric == "dot_product":
+        d = jnp.einsum("td,tpd->tp", q, s, preferred_element_type=jnp.float32)
+        return d * w[0] + b
+    if metric == "cosine_distance":
+        qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+        sn = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-12)
+        d = 1.0 - jnp.einsum("td,tpd->tp", qn, sn)
+        return d * w[0] + b
+    raise ValueError(f"unknown distance metric: {metric}")
+
+
 def class_distances(dist: jnp.ndarray, n: int, k: int) -> jnp.ndarray:
     """(…, k*n) per-support distances → (…, k) per-class means.
 

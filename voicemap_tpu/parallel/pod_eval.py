@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ExperimentConfig
+from ..ops import distance as dist_ops
 from ..ops import sampling
 from ..train.state import TrainState
 from ..train.steps import DeviceStore, fetch_batch
@@ -105,6 +106,60 @@ def make_sharded_task_scorer(mesh: Mesh, num_tasks: int, n: int, k: int,
     )
 
 
+def make_sharded_siamese_scorer(
+    mesh: Mesh,
+    num_tasks: int,
+    n: int,
+    k: int,
+    metric: str,
+    same_label: int = 0,
+    axis: str = "data",
+):
+    """jit(shard_map): (table, head_w, head_b, speaker_utts, counts, key) →
+    scalar accuracy — the pod form of ``eval/nshot.siamese_nshot_accuracy``.
+
+    Tasks are sampled identically on every device (same key); each device
+    scores its task shard's verification-head logits against the replicated
+    table via the shared ``ops.distance.head_scores`` (so pod and
+    single-device scores agree exactly); correctness bits psum-reduce.
+    """
+    n_dev = mesh.shape[axis]
+    if num_tasks % n_dev:
+        raise ValueError(f"num_tasks {num_tasks} must divide mesh axis {n_dev}")
+    local_tasks = num_tasks // n_dev
+
+    def device_score(table, head_w, head_b, speaker_utts, counts, key):
+        tasks = sampling.sample_nshot_tasks(
+            key, speaker_utts, counts, num_tasks, n, k
+        )
+        me = jax.lax.axis_index(axis)
+        sl = me * local_tasks
+        q_idx = jax.lax.dynamic_slice(tasks.query_idx, (sl,), (local_tasks,))
+        s_idx = jax.lax.dynamic_slice(
+            tasks.support_idx, (sl, 0, 0), (local_tasks, k, n)
+        )
+        q = table[q_idx]  # (lt, D)
+        s = table[s_idx].reshape(local_tasks, k * n, -1)  # (lt, kn, D)
+        scores = dist_ops.head_scores(q, s, head_w, head_b, metric)
+        class_scores = dist_ops.class_distances(scores, n, k)  # (lt, k)
+        if same_label == 0:
+            pred = jnp.argmin(class_scores, axis=-1)
+        else:
+            pred = jnp.argmax(class_scores, axis=-1)
+        correct = (pred == 0).astype(jnp.float32)
+        return jax.lax.psum(jnp.sum(correct), axis) / num_tasks
+
+    return jax.jit(
+        jax.shard_map(
+            device_score,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 def pod_evaluate(
     model,
     state: TrainState,
@@ -117,7 +172,13 @@ def pod_evaluate(
     k: Optional[int] = None,
     axis: str = "data",
 ) -> float:
-    """Full pod-scale n-shot evaluation (classifier / embedding mode)."""
+    """Full pod-scale n-shot evaluation.
+
+    Mirrors ``eval/nshot.evaluate``'s mode selection: siamese configs with a
+    trained verification head score through the sharded head-logit matrix
+    (``make_sharded_siamese_scorer``); classifier / contrastive configs score
+    by embedding euclidean distance.
+    """
     t = cfg.train
     num_tasks = num_tasks or t.num_eval_tasks
     n = n or t.n_shot
@@ -132,5 +193,23 @@ def pod_evaluate(
     )
     embed_fn = make_sharded_embed_table_fn(model, cfg, mesh, axis)
     table = embed_fn(state, store, indices)[:N]
+    use_head = (
+        cfg.mode == "siamese"
+        and cfg.train.loss != "contrastive"
+        and cfg.siamese.distance_metric in dist_ops.SIAMESE_METRICS
+        and "head" in state.params
+    )
+    if use_head:
+        head = state.params["head"]
+        scorer = make_sharded_siamese_scorer(
+            mesh, num_tasks, n, k,
+            metric=cfg.siamese.distance_metric,
+            same_label=cfg.siamese.same_label,
+            axis=axis,
+        )
+        return float(
+            scorer(table, head["kernel"], head["bias"][0],
+                   store.speaker_utts, store.speaker_counts, key)
+        )
     scorer = make_sharded_task_scorer(mesh, num_tasks, n, k, axis)
     return float(scorer(table, store.speaker_utts, store.speaker_counts, key))
