@@ -123,11 +123,73 @@ def bench_l1(nq=512, ns=2048, d=64):
     return {"jnp": t_jnp, "pallas": t_pl}
 
 
+def bench_conv_train(Bb=2048, T=12000, C=128, K=32, POOL=4):
+    """Fused block-0 TRAIN step (fwd+bwd) vs the flax/XLA emitter."""
+    from voicemap_tpu.models.encoder import ConvBlock
+    from voicemap_tpu.ops.conv_train import make_fused_block0_train
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((Bb, T, 1)), jnp.float32)
+    blk = ConvBlock(
+        features=C, kernel_size=K, pool_size=POOL, dropout=0.0,
+        compute_dtype=jnp.bfloat16, param_dtype=jnp.float32, bn_epsilon=1e-3,
+    )
+    variables = blk.init(jax.random.PRNGKey(0), x[:2], train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    # loss = ½Σout² gives a dense pool-rate cotangent (g = out) without
+    # baking a (B, T/pool, C) constant into the program.
+    @jax.jit
+    def flax_step(p, x):
+        def loss(p):
+            out, _ = blk.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            out = out.astype(jnp.float32)
+            return 0.5 * jnp.sum(out * out)
+        return jax.grad(loss)(p)
+
+    def make_step(impl, gemm, sel):
+        fn = make_fused_block0_train(POOL, 1e-3, impl=impl,
+                                     gemm_dtype=gemm, sel_dtype=sel)
+
+        @jax.jit
+        def step(p, x):
+            def loss(p):
+                out, mu, var = fn(
+                    x, p["conv"]["kernel"], p["conv"]["bias"],
+                    p["bn"]["scale"], p["bn"]["bias"],
+                )
+                return 0.5 * jnp.sum(out * out)
+            return jax.grad(loss)(p)
+        return step
+
+    pl_step = make_step("pallas", "bfloat16", "bfloat16")
+
+    # Parity at a size the materializing flax backward handles comfortably.
+    xs = x[:256]
+    ref = flax_step(params, xs)
+    got = pl_step(params, xs)
+    dk = np.max(np.abs(np.asarray(got["conv"]["kernel"] - ref["conv"]["kernel"])))
+    rel = dk / (np.max(np.abs(np.asarray(ref["conv"]["kernel"]))) + 1e-9)
+    print(f"conv_train[fused-pallas] max|Δdw| = {dk:.2e} (rel {rel:.2e}, B=256)")
+    t_flax = timeit(flax_step, params, x, iters=10)
+    t_pl = timeit(pl_step, params, x, iters=10)
+    print(
+        f"conv_train fwd+bwd[flax/XLA]: {t_flax * 1e3:.2f} ms | "
+        f"[fused-pallas]: {t_pl * 1e3:.2f} ms  (B={Bb}, T={T}, C={C})"
+    )
+    return {"flax": t_flax, "fused_pallas": t_pl}
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("parts", nargs="*", default=["preprocess", "l1", "melspec"])
+    ap.add_argument(
+        "parts", nargs="*", default=["preprocess", "l1", "melspec", "conv_train"]
+    )
     a = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
     if "preprocess" in a.parts:
@@ -136,3 +198,5 @@ if __name__ == "__main__":
         bench_l1()
     if "melspec" in a.parts:
         bench_melspec()
+    if "conv_train" in a.parts:
+        bench_conv_train()

@@ -1,0 +1,207 @@
+"""Parity tests for the fused block-0 TRAINING op (ops/conv_train.py).
+
+Oracle: flax ConvBlock in train mode (models/encoder.py), float32 compute.
+The fused op must match values (pooled output + batch stats) and parameter
+gradients; the input gradient is zero by design (first-layer op).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voicemap_tpu.models.encoder import ConvBlock
+from voicemap_tpu.ops.conv_train import make_fused_block0_train
+
+EPS = 1e-3
+POOL = 4
+K = 32
+C = 16
+B, T = 4, 256
+
+
+def _flax_block(dropout=0.0):
+    return ConvBlock(
+        features=C, kernel_size=K, pool_size=POOL, dropout=dropout,
+        compute_dtype=jnp.float32, param_dtype=jnp.float32,
+        bn_momentum=0.99, bn_epsilon=EPS,
+    )
+
+
+def _init(key, scale_tweak=None):
+    x = jax.random.normal(key, (B, T, 1), jnp.float32)
+    blk = _flax_block()
+    variables = blk.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]
+    if scale_tweak is not None:
+        params = jax.tree_util.tree_map(lambda p: p, params)
+        params["bn"]["scale"] = scale_tweak(params["bn"]["scale"])
+    return x, blk, params, variables["batch_stats"]
+
+
+def _flax_train_apply(blk, params, batch_stats, x):
+    out, mut = blk.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    return out, mut["batch_stats"]["bn"]
+
+
+def _fused_apply(params, x, impl="xla"):
+    fn = make_fused_block0_train(POOL, EPS, impl=impl)
+    return fn(
+        x, params["conv"]["kernel"], params["conv"]["bias"],
+        params["bn"]["scale"], params["bn"]["bias"],
+    )
+
+
+@pytest.mark.parametrize("tweak", [None, "negate_some", "zero_some"])
+def test_forward_parity(tweak):
+    tweaks = {
+        None: None,
+        "negate_some": lambda s: s.at[::3].set(-s[::3] - 0.5),
+        "zero_some": lambda s: s.at[::5].set(0.0),
+    }
+    x, blk, params, bs = _init(jax.random.PRNGKey(2), tweaks[tweak])
+    ref, ref_bn = _flax_train_apply(blk, params, bs, x)
+    got, mu, var = _fused_apply(params, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # Running-stat update parity: new = m*old + (1-m)*batch.
+    np.testing.assert_allclose(
+        0.99 * bs["bn"]["mean"] + 0.01 * mu, ref_bn["mean"], rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        0.99 * bs["bn"]["var"] + 0.01 * var, ref_bn["var"], rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("tweak", [None, "negate_some"])
+def test_grad_parity(tweak):
+    tweaks = {None: None, "negate_some": lambda s: s.at[1::2].set(-s[1::2] - 0.3)}
+    x, blk, params, bs = _init(jax.random.PRNGKey(3), tweaks[tweak])
+    gkey = jax.random.PRNGKey(4)
+    gw = jax.random.normal(gkey, (B, T // POOL, C), jnp.float32)
+
+    def loss_ref(p):
+        out, _ = _flax_train_apply(blk, p, bs, x)
+        return jnp.sum(out * gw)
+
+    def loss_fused(p):
+        out, mu, var = _fused_apply(p, x)
+        return jnp.sum(out * gw)
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-5)
+    for path in [("conv", "kernel"), ("conv", "bias"), ("bn", "scale"), ("bn", "bias")]:
+        a = gr[path[0]][path[1]]
+        bgrad = gf[path[0]][path[1]]
+        np.testing.assert_allclose(
+            bgrad, a, rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch at {'/'.join(path)}",
+        )
+
+
+def test_relu_dead_region_grads():
+    """Large negative conv bias ⇒ many a==0 positions; parity must hold."""
+    x, blk, params, bs = _init(jax.random.PRNGKey(5))
+    params["conv"]["bias"] = params["conv"]["bias"] - 0.5
+    gw = jax.random.normal(jax.random.PRNGKey(6), (B, T // POOL, C), jnp.float32)
+
+    def loss_ref(p):
+        out, _ = _flax_train_apply(blk, p, bs, x)
+        return jnp.sum(out * gw)
+
+    def loss_fused(p):
+        out, _, _ = _fused_apply(p, x)
+        return jnp.sum(out * gw)
+
+    gr = jax.grad(loss_ref)(params)
+    gf = jax.grad(loss_fused)(params)
+    for path in [("conv", "kernel"), ("conv", "bias"), ("bn", "scale"), ("bn", "bias")]:
+        np.testing.assert_allclose(
+            gf[path[0]][path[1]], gr[path[0]][path[1]], rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch at {'/'.join(path)}",
+        )
+
+
+def test_input_grad_is_zero_by_design():
+    x, blk, params, bs = _init(jax.random.PRNGKey(7))
+
+    def loss(xx):
+        out, _, _ = _fused_apply(params, xx)
+        return jnp.sum(out)
+
+    gx = jax.grad(loss)(x)
+    assert float(jnp.max(jnp.abs(gx))) == 0.0
+
+
+def test_pallas_fwd_core_matches_xla_core():
+    from voicemap_tpu.ops.conv_train import _xla_fwd_core
+    from voicemap_tpu.ops.pallas_conv_train import pallas_fwd_core
+
+    x, blk, params, bs = _init(jax.random.PRNGKey(9))
+    w, b = params["conv"]["kernel"], params["conv"]["bias"]
+    sgn = jnp.where(params["bn"]["scale"] >= 0, 1.0, -1.0)
+    ref = _xla_fwd_core(x, w, b, sgn, pool=POOL, dtype=jnp.float32)
+    got = pallas_fwd_core(x, w, b, sgn, pool=POOL, interpret=True)
+    for name, r, g in zip(["a_sel", "sum", "sumsq", "cnt"], ref, got):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("tweak", [None, "negate_some"])
+def test_pallas_impl_grad_parity(tweak):
+    """Full custom-VJP with Pallas cores (interpret) vs the flax block."""
+    tweaks = {None: None, "negate_some": lambda s: s.at[1::2].set(-s[1::2] - 0.3)}
+    x, blk, params, bs = _init(jax.random.PRNGKey(10), tweaks[tweak])
+    gw = jax.random.normal(jax.random.PRNGKey(11), (B, T // POOL, C), jnp.float32)
+
+    def loss_ref(p):
+        out, _ = _flax_train_apply(blk, p, bs, x)
+        return jnp.sum(out * gw)
+
+    def loss_fused(p):
+        fn = make_fused_block0_train(POOL, EPS, impl="pallas", interpret=True)
+        out, mu, var = fn(
+            x, p["conv"]["kernel"], p["conv"]["bias"],
+            p["bn"]["scale"], p["bn"]["bias"],
+        )
+        return jnp.sum(out * gw)
+
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-5)
+    for path in [("conv", "kernel"), ("conv", "bias"), ("bn", "scale"), ("bn", "bias")]:
+        np.testing.assert_allclose(
+            gf[path[0]][path[1]], gr[path[0]][path[1]], rtol=1e-4, atol=1e-4,
+            err_msg=f"grad mismatch at {'/'.join(path)}",
+        )
+
+
+def test_mu_var_outputs_differentiable():
+    """The stats outputs carry correct cotangents (used only defensively)."""
+    x, blk, params, bs = _init(jax.random.PRNGKey(8))
+
+    def loss_fused(p):
+        out, mu, var = _fused_apply(p, x)
+        return jnp.sum(mu * 2.0) + jnp.sum(var * 0.5)
+
+    def loss_ref(p):
+        # Same quantity from the raw activation.
+        z = jax.lax.conv_general_dilated(
+            x, p["conv"]["kernel"], (1,), "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + p["conv"]["bias"]
+        a = jax.nn.relu(z)
+        mu = jnp.mean(a, axis=(0, 1))
+        var = jnp.mean(a * a, axis=(0, 1)) - mu * mu
+        return jnp.sum(mu * 2.0) + jnp.sum(var * 0.5)
+
+    gf = jax.grad(loss_fused)(params)
+    gr = jax.grad(loss_ref)(params)
+    np.testing.assert_allclose(
+        gf["conv"]["kernel"], gr["conv"]["kernel"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        gf["conv"]["bias"], gr["conv"]["bias"], rtol=1e-4, atol=1e-5
+    )

@@ -264,3 +264,46 @@ def test_pallas_preprocess_training_on_tpu(store_and_root):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def _run_steps(model, cfg, store, n=4):
+    if cfg.mode == "siamese":
+        state = _init(
+            model, cfg,
+            (jnp.zeros((1, cfg.data.model_length, 1)),) * 2,
+        )
+        step, _ = steps_mod.make_siamese_train_step(model, cfg)
+    else:
+        state = _init(model, cfg, (jnp.zeros((1, cfg.data.model_length, 1)),))
+        step, _ = steps_mod.make_classifier_train_step(model, cfg)
+    key = jax.random.PRNGKey(7)
+    out = []
+    for _ in range(n):
+        state, m = step(state, store, key)
+        out.append(float(m["loss"]))
+    return out, state
+
+
+@pytest.mark.parametrize("mode", ["classifier", "siamese"])
+def test_fused_block0_train_step_matches_flax(store_and_root, mode):
+    """use_fused_block0=True reproduces the flax step losses at float32."""
+    store, ds, root = store_and_root
+    base = small_cfg(root, mode)
+    fused = base.replace(
+        train=dataclasses.replace(base.train, use_fused_block0=True)
+    )
+    plain = base.replace(
+        train=dataclasses.replace(base.train, use_fused_block0=False)
+    )
+    if mode == "siamese":
+        model = SiameseNet(base.encoder, base.siamese)
+    else:
+        model = SpeakerClassifier(base.encoder, num_classes=ds.num_speakers)
+    losses_f, state_f = _run_steps(model, fused, store)
+    losses_p, state_p = _run_steps(model, plain, store)
+    np.testing.assert_allclose(losses_f, losses_p, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        state_f.params["encoder"]["block_0"]["conv"]["kernel"],
+        state_p.params["encoder"]["block_0"]["conv"]["kernel"],
+        rtol=1e-3, atol=1e-4,
+    )

@@ -140,6 +140,12 @@ class TrainConfig:
     # the 128-sample lane grid — see ops/pallas_preprocess.py).
     # None = auto: on for the TPU backend, off elsewhere.
     use_pallas_preprocess: Optional[bool] = None
+    # Fused block-0 train step (ops/conv_train.py custom VJP + Pallas cores):
+    # conv+relu+BN(train)+pool of the encoder's first block computed without
+    # the full-rate activation ever leaving VMEM, in forward AND backward.
+    # None = auto: on for the TPU backend when the topology is eligible
+    # (block-0 dilation 1, waveform input), off elsewhere.
+    use_fused_block0: Optional[bool] = None
     # Checkpointing (reference: ModelCheckpoint best-by-val_{n}-shot_acc).
     # Saves at every evaluation point; best-model selection is gated on the
     # validation n-shot accuracy, like the reference.

@@ -1,0 +1,218 @@
+"""Fused conv-block-0 TRAINING op with a custom VJP.
+
+Reference behavior: the encoder's first block in train mode —
+``Conv1D(C, k, SAME) → ReLU → BatchNorm(train stats) → MaxPool1D(pool)``
+(reference: ``voicemap/models.py :: get_baseline_convolutional_encoder``,
+SURVEY.md §3.5; BN semantics per Keras/flax train mode). The XLA emitter
+spends the block's time on HBM round-trips of the full-rate ``(B, T, C)``
+activation: forward writes it and the pool re-reads it; backward scatters
+the pooled cotangent back to full rate, BN-backward re-reads it, and the
+conv weight gradient reads it again (BASELINE.md roofline).
+
+This module reformulates the block so **no full-rate tensor ever leaves
+VMEM**, in either direction:
+
+Forward
+    One pooled-GEMM pass (the phase-stacked weight formulation proven in
+    ``models/fused_encoder.py``) emits only
+    - ``a_sel (B, T/pool, C)`` — the phase value the max-pool selects, and
+    - per-channel stats ``(Σa, Σa², #(a>0))`` over the full-rate ReLU
+      activation, accumulated in-kernel.
+    Because BN's train-mode affine ``y = (a−μ)·γ·r + β`` (``r = rsqrt(σ²+ε)``)
+    is monotone per channel, the pool's argmax over ``y`` equals the argmax
+    over ``sign(γ)·a`` — so the selected value and the batch statistics are
+    enough to reconstruct the exact pooled BN output *after* the stats are
+    known: ``pooled = (a_sel − μ)·γ·r + β``.
+
+Backward
+    The BN-train backward w.r.t. the pre-BN activation is
+    ``da = γ·r·(g − Σg/N − â·Σ(g·â)/N)`` — an affine function of ``a`` with
+    per-channel constants computable at POOL RATE (the max-pool routes every
+    pooled cotangent to exactly one full-rate position, so Σg and Σ(g·â)
+    over the full-rate grid equal their pooled sums). With
+    ``c0 = γ·r``, ``c1``, ``c2`` folded on the host side:
+
+        dz = 1[a>0] · (c0·g_routed + c1 + c2·a)
+        dW = framesᵀ @ dz        (one GEMM, full-rate ``a``/``dz`` recomputed
+                                  chunk-wise in VMEM, never materialized)
+        db, dγ, dβ               (pool-rate reductions, XLA)
+
+    The gradient w.r.t. the block input is intentionately **zero**: block 0
+    is the model's first layer and its input is non-differentiable audio
+    data. (Asserted by tests; do not reuse this op mid-network.)
+
+Two interchangeable cores:
+- ``impl='xla'`` — materializing oracle used by the parity tests.
+- ``impl='pallas'`` — Mosaic kernels (``pallas_conv_train.py``) that keep
+  the full-rate activation in VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """x (B, T, 1) ⊛ w (k, 1, C) → (B, T, C), SAME padding."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1,), "SAME",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _xla_fwd_core(x, w, b, sgn, pool, dtype):
+    """Full-rate oracle: (a_sel, sum_a, sumsq_a, count_pos)."""
+    B, T, _ = x.shape
+    c = w.shape[2]
+    a = jax.nn.relu(_conv_same(x, w, dtype) + b.astype(jnp.float32))
+    sum_a = jnp.sum(a, axis=(0, 1))
+    sumsq_a = jnp.sum(a * a, axis=(0, 1))
+    count_pos = jnp.sum((a > 0).astype(jnp.float32), axis=(0, 1))
+    ar = a.reshape(B, T // pool, pool, c)
+    a_sel = sgn * jnp.max(sgn[None, None, None, :] * ar, axis=2)
+    return a_sel, sum_a, sumsq_a, count_pos
+
+
+def _xla_bwd_core(x, w, b, sgn, g, c0, c1, c2, pool, dtype):
+    """Full-rate oracle backward: (dw, db_direct).
+
+    Recomputes the activation AND the pool's selection (sign-directed max)
+    so the routing is self-consistent — no bitwise-equality dependence on
+    the forward pass — then routes the pooled cotangent to the first phase
+    (in time order) achieving the max, matching XLA's reduce_window max
+    gradient, and correlates dz with the input.
+
+    All conv arithmetic runs on f32 views of `dtype`-rounded operands so
+    the vjp transpose sees uniform dtypes (jax rejects mixed-dtype conv
+    transposes); the products equal the MXU's dtype-operand/f32-accumulate
+    form.
+    """
+    B, T, _ = x.shape
+    c = w.shape[2]
+
+    def conv(W):
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype).astype(jnp.float32),
+            W.astype(dtype).astype(jnp.float32),
+            (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + b.astype(jnp.float32)
+
+    z, conv_vjp = jax.vjp(conv, w)
+    a = jax.nn.relu(z)
+    ar = a.reshape(B, T // pool, pool, c)
+    best = jnp.max(sgn[None, None, None, :] * ar, axis=2)
+    taken = jnp.zeros(best.shape, bool)
+    routed = []
+    for j in range(pool):
+        eq = (sgn[None, None, :] * ar[:, :, j, :] == best) & ~taken
+        routed.append(jnp.where(eq, g, 0.0))
+        taken = taken | eq
+    g_full = jnp.stack(routed, axis=2).reshape(B, T, c)
+    da = c0 * g_full + c1 + c2 * a
+    dz = jnp.where(a > 0, da, 0.0)
+    (dw,) = conv_vjp(dz)
+    db_direct = jnp.sum(dz, axis=(0, 1))
+    return dw, db_direct
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_block0_train(
+    pool: int,
+    eps: float,
+    impl: str = "xla",
+    gemm_dtype: str = "float32",
+    sel_dtype: str = "float32",
+    interpret: bool = False,
+):
+    """Factory for the custom-VJP fused train block.
+
+    Returns ``fn(x, w, b, gamma, beta) -> (pooled_y, mu, var)`` where
+    - ``x (B, T, 1)`` float32 waveform (T divisible by pool),
+    - ``pooled_y (B, T/pool, C)`` float32 — BN train output, max-pooled,
+    - ``mu, var (C,)`` — the batch statistics (flax fast-variance
+      convention: ``max(E[a²] − E[a]², 0)``) for the running-stats update.
+
+    The VJP returns ZERO for ``x`` (first-layer op; see module docstring).
+    """
+    dtype = jnp.dtype(gemm_dtype)
+    sdt = jnp.dtype(sel_dtype)
+
+    if impl == "xla":
+        fwd_core = functools.partial(_xla_fwd_core, pool=pool, dtype=dtype)
+    elif impl == "pallas":
+        from .pallas_conv_train import pallas_fwd_core, pallas_bwd_core
+        fwd_core = functools.partial(
+            pallas_fwd_core, pool=pool, gemm_dtype=dtype, sel_dtype=sdt,
+            interpret=interpret,
+        )
+    else:
+        raise ValueError(impl)
+
+    def primal(x, w, b, gamma, beta):
+        N = x.shape[0] * x.shape[1]
+        sgn = jnp.where(gamma >= 0, 1.0, -1.0).astype(jnp.float32)
+        a_sel, sum_a, sumsq_a, _cnt = fwd_core(x, w, b, sgn)
+        mu = sum_a / N
+        var = jnp.maximum(sumsq_a / N - mu * mu, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        pooled = (a_sel.astype(jnp.float32) - mu) * (gamma * r) + beta
+        return pooled, mu, var
+
+    @jax.custom_vjp
+    def fused(x, w, b, gamma, beta):
+        return primal(x, w, b, gamma, beta)
+
+    def fwd(x, w, b, gamma, beta):
+        N = x.shape[0] * x.shape[1]
+        sgn = jnp.where(gamma >= 0, 1.0, -1.0).astype(jnp.float32)
+        a_sel, sum_a, sumsq_a, cnt = fwd_core(x, w, b, sgn)
+        mu = sum_a / N
+        var = jnp.maximum(sumsq_a / N - mu * mu, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        pooled = (a_sel.astype(jnp.float32) - mu) * (gamma * r) + beta
+        res = (x, w, b, gamma, sgn, a_sel, mu, var, sum_a, cnt)
+        return (pooled, mu, var), res
+
+    def bwd(res, cots):
+        g, g_mu, g_var = cots
+        x, w, b, gamma, sgn, a_sel, mu, var, sum_a, cnt = res
+        N = x.shape[0] * x.shape[1]
+        r = jax.lax.rsqrt(var + eps)
+        m = gamma * r
+        a_self32 = a_sel.astype(jnp.float32)
+        ahat_sel = (a_self32 - mu) * r
+        S1 = jnp.sum(g, axis=(0, 1))
+        S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
+        dbeta = S1
+        dgamma = S2
+        # dL/da = c0·g_routed + c1 + c2·a over the full-rate grid, where the
+        # dense constants fold the BN mean/var backward plus the (normally
+        # zero) cotangents of the mu/var outputs.
+        c0 = m
+        c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
+        c2 = -m * r * S2 / N + 2.0 * g_var / N
+        if impl == "xla":
+            dw, _db_direct = _xla_bwd_core(
+                x, w, b, sgn, g, c0, c1, c2, pool, dtype
+            )
+        else:
+            from .pallas_conv_train import pallas_bwd_core
+            dw = pallas_bwd_core(
+                x, w, b, sgn, g, c0, c1, c2, pool=pool,
+                gemm_dtype=dtype, interpret=interpret,
+            )
+        # db is a pool-rate identity: Σ dz = c0·Σ g·1[a_sel>0]
+        #   + c1·#(a>0) + c2·Σa  (g is nonzero only at selected positions).
+        S1p = jnp.sum(g * (a_self32 > 0), axis=(0, 1))
+        db = c0 * S1p + c1 * cnt + c2 * sum_a
+        dx = jnp.zeros_like(x)  # first-layer op: input grad undefined by design
+        return dx, dw.astype(w.dtype), db, dgamma, dbeta
+
+    fused.defvjp(fwd, bwd)
+    return fused

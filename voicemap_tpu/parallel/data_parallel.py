@@ -44,7 +44,7 @@ def make_dp_classifier_train_step(
     if cfg.train.batch_size % n_dev:
         raise ValueError("global batch must divide the data-axis size")
     local_B = cfg.train.batch_size // n_dev
-    loss_fn = steps_mod.classifier_loss_fn(model)
+    loss_fn = steps_mod.classifier_loss_fn(model, cfg)
 
     def device_step(state: TrainState, store: steps_mod.DeviceStore, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))

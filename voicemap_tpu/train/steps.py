@@ -32,6 +32,27 @@ def resolve_pallas_preprocess(cfg: ExperimentConfig) -> bool:
     return bool(flag)
 
 
+def resolve_fused_block0(cfg: ExperimentConfig, model) -> bool:
+    """Fused block-0 train step (models/fused_train.py): None = auto on TPU.
+
+    Only the waveform conv models qualify — the mel-spectrogram 2D stack has
+    a different variable tree and stays on flax apply.
+    """
+    from ..models.classifier import SpeakerClassifier
+    from ..models.siamese import SiameseNet
+
+    if not isinstance(model, (SpeakerClassifier, SiameseNet)):
+        return False
+    flag = cfg.train.use_fused_block0
+    if flag is None:
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
+def _fused_impl() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 @flax.struct.dataclass
 class DeviceStore:
     """AudioStore shipped to device memory (or sharded across a mesh).
@@ -140,8 +161,29 @@ def fetch_batch(
     return rows[..., None]
 
 
-def classifier_loss_fn(model):
-    """Shared by the single-chip and data-parallel train steps."""
+def classifier_loss_fn(model, cfg: Optional[ExperimentConfig] = None):
+    """Shared by the single-chip and data-parallel train steps.
+
+    With ``cfg`` given and ``resolve_fused_block0`` true, the forward runs
+    through the fused block-0 custom-VJP path (models/fused_train.py)
+    instead of flax apply — same variables, same semantics, no full-rate
+    block-0 activation in HBM.
+    """
+    if cfg is not None and resolve_fused_block0(cfg, model):
+        from ..models import fused_train
+
+        impl = _fused_impl()
+        enc_cfg = cfg.encoder
+
+        def fused_loss_fn(params, batch_stats, x, y, dropout_key):
+            out, new_bs = fused_train.classifier_train_forward(
+                params, batch_stats, enc_cfg, x, dropout_key, impl=impl
+            )
+            loss = losses.softmax_ce(out, y)
+            acc = losses.categorical_accuracy(out, y)
+            return loss, (new_bs, acc)
+
+        return fused_loss_fn
 
     def loss_fn(params, batch_stats, x, y, dropout_key):
         out, mut = model.apply(
@@ -163,6 +205,41 @@ def siamese_loss_fn(model, cfg: ExperimentConfig):
     same_label = cfg.siamese.same_label
     use_contrastive = cfg.train.loss == "contrastive"
     margin = cfg.train.contrastive_margin
+
+    if resolve_fused_block0(cfg, model):
+        from ..models import fused_train
+
+        impl = _fused_impl()
+        enc_cfg, sia_cfg = cfg.encoder, cfg.siamese
+
+        def fused_loss_fn(params, batch_stats, x1, x2, y, dropout_key):
+            if use_contrastive:
+                Bsz = x1.shape[0]
+                stacked = jnp.concatenate([x1, x2], axis=0)
+                emb, new_bs = fused_train.siamese_embed_train_forward(
+                    params, batch_stats, enc_cfg, stacked, dropout_key,
+                    impl=impl,
+                )
+                d = jnp.sqrt(
+                    jnp.sum(jnp.square(emb[:Bsz] - emb[Bsz:]), axis=-1) + 1e-12
+                )
+                loss = losses.contrastive(
+                    d, y, margin=margin, same_label=same_label
+                )
+                pred = jnp.where(
+                    d > margin / 2, 1.0 - same_label, float(same_label)
+                )
+                acc = jnp.mean(pred == y)
+            else:
+                logits, new_bs = fused_train.siamese_train_forward(
+                    params, batch_stats, enc_cfg, sia_cfg, x1, x2,
+                    dropout_key, impl=impl,
+                )
+                loss = losses.bce_with_logits(logits, y)
+                acc = losses.binary_accuracy(logits, y)
+            return loss, (new_bs, acc)
+
+        return fused_loss_fn
 
     def loss_fn(params, batch_stats, x1, x2, y, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -208,7 +285,7 @@ def make_classifier_train_step(
     """Returns (jitted step, optax tx). Step: (state, store, key) → (state, metrics)."""
     tx = make_optimizer(cfg.train.clipnorm)
     B = cfg.train.batch_size
-    loss_fn = classifier_loss_fn(model)
+    loss_fn = classifier_loss_fn(model, cfg)
 
     @jax.jit
     def step(state: TrainState, store: DeviceStore, key: jax.Array):
@@ -274,7 +351,7 @@ def make_streaming_classifier_step(model, cfg: ExperimentConfig):
     """Train step for the host-streaming pipeline (data/pipeline.py):
     (state, fragments (B, frag) int16, labels, key) → (state, metrics)."""
     tx = make_optimizer(cfg.train.clipnorm)
-    loss_fn = classifier_loss_fn(model)
+    loss_fn = classifier_loss_fn(model, cfg)
 
     @jax.jit
     def step(state: TrainState, frags: jnp.ndarray, y: jnp.ndarray, key):
