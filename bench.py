@@ -133,12 +133,12 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
     if use_pallas and jax.default_backend() == "tpu":
         from voicemap_tpu.models.fast_infer import fast_embed
         from voicemap_tpu.ops.pallas_preprocess import (
-            decimate_store, pallas_gather_whiten, quantize_offsets,
+            decimate_store, pallas_gather_whiten,
         )
 
         store = decimate_store(store, DOWNSAMPLING)
         t_out = FRAG // DOWNSAMPLING
-        offsets = quantize_offsets(offsets // DOWNSAMPLING)
+        offsets = offsets // DOWNSAMPLING
         indices = jnp.arange(batch_size, dtype=jnp.int32)
         enc_cfg = model.cfg
 
@@ -153,16 +153,16 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
             return model.apply(variables, x, train=False)
 
-    out = embed(store, offsets)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(embed(store, offsets))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = embed(store, offsets)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    utt_per_sec = batch_size * iters / dt
+    # Timing via utils/profiling: dispatch-N + one D2H fetch, baseline-
+    # subtracted — jax.block_until_ready does NOT synchronize on the axon
+    # remote platform (it "measures" 16 PFLOP/s; see profiling.py docstring).
+    from voicemap_tpu.utils import profiling
+
+    tp = profiling.throughput(
+        embed, store, offsets, items_per_call=batch_size,
+        iters=iters, warmup=warmup,
+    )
+    utt_per_sec = tp["items_per_sec"]
 
     # p50 single-utterance embed latency (BASELINE.json metric 3) — its own
     # jitted program at batch 1 (the throughput fn bakes in batch indices).
@@ -187,13 +187,8 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
             return model.apply(variables, x, train=False)
 
-    jax.block_until_ready(embed_one(one_store, one_off))
-    lats = []
-    for _ in range(50):
-        t0 = time.perf_counter()
-        jax.block_until_ready(embed_one(one_store, one_off))
-        lats.append(time.perf_counter() - t0)
-    p50_ms = statistics.median(lats) * 1e3
+    lat = profiling.time_fn(embed_one, one_store, one_off, iters=30)
+    p50_ms = lat["p50_s"] * 1e3
     return {"utt_per_sec": utt_per_sec, "p50_embed_ms": p50_ms,
             "batch": batch_size, "backend": jax.default_backend()}
 
@@ -221,11 +216,11 @@ def bench_cpu_baseline(batch_size: int = 32, iters: int = 10) -> dict:
         return x[..., None]
 
     fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
-    jax.block_until_ready(fwd(jnp.asarray(host_preprocess(raw))))
+    np.asarray(fwd(jnp.asarray(host_preprocess(raw))))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(jnp.asarray(host_preprocess(raw)))
-    jax.block_until_ready(out)
+    np.asarray(out)  # value fetch = true barrier on every backend
     dt = time.perf_counter() - t0
     return {"utt_per_sec": batch_size * iters / dt, "batch": batch_size}
 

@@ -28,15 +28,13 @@ from voicemap_tpu.ops.pallas_preprocess import (
 
 
 def timeit(fn, *args, iters=30, warmup=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    # block_until_ready does not synchronize on the axon remote platform;
+    # time via dispatch-N + one D2H value fetch, 1-call baseline subtracted
+    # (see voicemap_tpu/utils/profiling.py).
+    from voicemap_tpu.utils.profiling import throughput
+
+    return throughput(fn, *args, items_per_call=1, iters=iters,
+                      warmup=warmup)["sec_per_call"]
 
 
 def bench_preprocess():

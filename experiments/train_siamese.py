@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--k-way", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--fused-block0", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="fused block-0 train step (custom VJP + Pallas cores); "
+                        "auto = on for the TPU backend")
     p.add_argument("--pallas-preprocess", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused Pallas gather+whiten over a pre-decimated device store "
@@ -98,6 +102,8 @@ def main():
             seed=args.seed,
             use_pallas_preprocess=(None if args.pallas_preprocess == "auto"
                                    else args.pallas_preprocess == "on"),
+            use_fused_block0=(None if args.fused_block0 == "auto"
+                              else args.fused_block0 == "on"),
             checkpoint_dir=args.checkpoint_dir,
             log_path=args.log_path or os.path.join("logs", "siamese", "metrics.jsonl"),
         ),

@@ -34,11 +34,8 @@ def make_case(seed, N, T_store, frag, ds, B):
     store = rng.integers(-30000, 30000, (N, T_store), dtype=np.int16)
     store_p = np.asarray(pad_store(jnp.asarray(store)))
     idx = rng.integers(0, N, B).astype(np.int32)
-    offs = np.asarray(
-        quantize_offsets(
-            jnp.asarray(rng.integers(0, T_store - frag, B).astype(np.int32))
-        )
-    )
+    # Sample-granular offsets — the kernel no longer quantizes.
+    offs = rng.integers(0, T_store - frag, B).astype(np.int32)
     return store_p, idx, offs
 
 
@@ -55,11 +52,12 @@ def test_pallas_preprocess_matches_jnp():
 
 
 def test_pallas_preprocess_zero_and_aligned_offsets():
-    """fine==0 (roll by full window) and hi==0 paths."""
+    """fine==0 / lane==0 (roll by full window) and hi==0 paths, plus
+    arbitrary sample-granular offsets (lane splice edges 1, 127)."""
     frag, ds, B = 1280, 2, 8
     store_p, idx, _ = make_case(1, 6, 4000, frag, ds, B)
     # Contract: offset + fragment ≤ original length (4000 → max 2720).
-    offs = np.asarray([0, 128, 2048, 2048 + 128, 0, 2688, 256, 1920], np.int32)
+    offs = np.asarray([0, 128, 2048, 2048 + 129, 1, 2687, 255, 1920], np.int32)
     out = pallas_preprocess(
         jnp.asarray(store_p), jnp.asarray(idx), jnp.asarray(offs),
         frag, ds, interpret=True,
@@ -97,8 +95,9 @@ def test_pallas_predecimated_store_matches_jnp():
     rng = np.random.default_rng(7)
     store = rng.integers(-30000, 30000, (10, 6000), dtype=np.int16)
     idx = rng.integers(0, 10, B).astype(np.int32)
-    # Offsets on the ds*128 grid so raw and decimated quantization agree.
-    offs = (rng.integers(0, (6000 - frag) // (128 * ds), B) * 128 * ds).astype(np.int32)
+    # Offsets on the ds grid so the raw chain picks the same decimated
+    # samples (a pre-decimated store cannot represent sub-ds phase).
+    offs = (rng.integers(0, (6000 - frag) // ds, B) * ds).astype(np.int32)
     store_ds = decimate_store(jnp.asarray(store), ds)
     out = pallas_preprocess(
         store_ds, jnp.asarray(idx), jnp.asarray(offs), frag, ds,
@@ -121,11 +120,11 @@ def test_pallas_nonaligned_fragment_length():
     np.testing.assert_allclose(np.asarray(out)[..., 0], expect, rtol=1e-5, atol=1e-6)
 
 
-def test_quantize_offsets():
+def test_quantize_offsets_is_identity():
+    """Offsets are sample-granular since the lane-rotate refinement; the
+    compatibility shim must pass them through untouched."""
     offs = jnp.asarray([0, 1, 127, 128, 129, 5000], jnp.int32)
-    np.testing.assert_array_equal(
-        np.asarray(quantize_offsets(offs)), [0, 0, 0, 128, 128, 4992]
-    )
+    np.testing.assert_array_equal(np.asarray(quantize_offsets(offs)), offs)
 
 
 def test_pad_store():

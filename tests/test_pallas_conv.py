@@ -94,3 +94,35 @@ def test_pallas_blockn_matches_xla(k, C, Cout, T):
                              out_dtype=jnp.float32, gemm_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,C,Cout,T,dtype", [
+    (3, 8, 16, 128, jnp.float32),
+    (3, 16, 8, 250, jnp.float32),   # t_out not multiple of chunk
+    (5, 8, 8, 64, jnp.float32),
+    (3, 8, 16, 128, jnp.bfloat16),  # bf16 streamed input
+])
+def test_pallas_blockn_streamed_matches_xla(k, C, Cout, T, dtype):
+    from voicemap_tpu.ops.pallas_conv import pallas_conv_blockn_streamed
+
+    rng = np.random.default_rng(5)
+    B = 3
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, C, Cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, Cout), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal((Cout,)) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, Cout), jnp.float32)
+    expect = reference_block(
+        x.astype(dtype).astype(jnp.float32), w, b, scale, bias, mean, var,
+        1e-3, 2,
+    )
+    out = pallas_conv_blockn_streamed(
+        x.astype(dtype), w, b, scale, bias, mean, var, 1e-3, pool=2,
+        t_chunk=32, interpret=True, out_dtype=jnp.float32,
+        gemm_dtype=jnp.float32,
+    )
+    tol = 5e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=tol, atol=tol)

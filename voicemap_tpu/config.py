@@ -136,8 +136,8 @@ class TrainConfig:
     min_lr: float = 1e-5
     # Fused Pallas gather+whiten kernel over a pre-decimated device store
     # instead of the XLA gather chain (3.5x faster end-to-end on v5e: the
-    # unaligned XLA gather is the pipeline bottleneck; offsets quantize to
-    # the 128-sample lane grid — see ops/pallas_preprocess.py).
+    # unaligned XLA gather is the pipeline bottleneck). Offsets are
+    # sample-granular in decimated units — see ops/pallas_preprocess.py.
     # None = auto: on for the TPU backend, off elsewhere.
     use_pallas_preprocess: Optional[bool] = None
     # Fused block-0 train step (ops/conv_train.py custom VJP + Pallas cores):

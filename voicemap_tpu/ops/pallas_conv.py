@@ -350,3 +350,174 @@ def pallas_conv_blockn(
         interpret=interpret,
     )(in2, w4, aff)
     return out[:, :t_out, :]
+
+
+# ---------------------------------------------------------------------------
+# Streamed rebuild of the pair-merge kernel: input stays in HBM, double-
+# buffered row windows per chunk (the per-row-grid form above DMAs the whole
+# (P2, 2C) row per grid step and loses to XLA — CLAUDE.md round-1 bench).
+# ---------------------------------------------------------------------------
+
+WIN_SLACK = 16  # window rows beyond t_chunk: covers n_slices and keeps the
+#                 next DMA start sublane-aligned for bf16 (tile 16) and f32 (8)
+
+
+def _kernel_chan_streamed(
+    in2_ref,  # (B, P2, 2C) in HBM (pl.ANY) — pair-merged, SAME-padded input
+    w4_ref,  # (win*C, pool*C') gemm_dtype, VMEM
+    aff_ref,  # (8, pool*C') f32: [0]=bias, [1]=bn_mul, [2]=bn_add (tiled)
+    o_ref,  # out block (1, t_ch, C')
+    win0_ref,  # scratch (t_win, 2C) in2.dtype — double-buffer slot 0
+    win1_ref,  # slot 1 (two named refs: a dynamic slot index would be a
+    #            value-level dynamic slice, which does not lower)
+    f_ref,  # scratch (t_ch, n_slices*2C) gemm_dtype — frame matrix
+    sems,  # (2,) DMA semaphores
+    *,
+    n_b: int,
+    n_ch: int,
+    pool: int,
+    n_slices: int,
+    t_ch: int,
+    t_win: int,
+    c_out: int,
+    gemm_dtype,
+):
+    b = pl.program_id(0)
+    ch = pl.program_id(1)
+    i = b * n_ch + ch
+    total = n_b * n_ch
+
+    def dma(buf_ref, slot, bb, cc):
+        base = pl.multiple_of(cc * t_ch, WIN_SLACK)
+        return pltpu.make_async_copy(
+            in2_ref.at[bb, pl.ds(base, t_win)], buf_ref, sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _prologue():
+        dma(win0_ref, 0, b, ch).start()
+
+    nxt = jnp.minimum(i + 1, total - 1)
+    nb, nc = nxt // n_ch, nxt % n_ch
+
+    @pl.when((i + 1 < total) & (i % 2 == 0))
+    def _prefetch1():
+        dma(win1_ref, 1, nb, nc).start()
+
+    @pl.when((i + 1 < total) & (i % 2 == 1))
+    def _prefetch0():
+        dma(win0_ref, 0, nb, nc).start()
+
+    def compute(buf_ref, slot):
+        dma(buf_ref, slot, b, ch).wait()
+        win = buf_ref[:]
+        c2 = win.shape[1]
+        for s in range(n_slices):
+            f_ref[:, s * c2 : (s + 1) * c2] = win[s : s + t_ch].astype(
+                gemm_dtype
+            )
+        y = jnp.dot(f_ref[:], w4_ref[:], preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y + aff_ref[0:1, :]) * aff_ref[1:2, :] + aff_ref[2:3, :]
+        out = y[:, :c_out]
+        for j in range(1, pool):
+            out = jnp.maximum(out, y[:, j * c_out : (j + 1) * c_out])
+        o_ref[0] = out.astype(o_ref.dtype)
+
+    @pl.when(i % 2 == 0)
+    def _even():
+        compute(win0_ref, 0)
+
+    @pl.when(i % 2 == 1)
+    def _odd():
+        compute(win1_ref, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pool", "t_chunk", "interpret", "out_dtype", "gemm_dtype"),
+)
+def pallas_conv_blockn_streamed(
+    x: jnp.ndarray,  # (B, T, C) activations, T even
+    w: jnp.ndarray,  # (k, C, C') conv kernel, k odd
+    b: jnp.ndarray,
+    bn_scale: jnp.ndarray,
+    bn_bias: jnp.ndarray,
+    bn_mean: jnp.ndarray,
+    bn_var: jnp.ndarray,
+    bn_eps: float = 1e-3,
+    pool: int = 2,
+    t_chunk: int = 512,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    gemm_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Streamed fused conv(SAME,k odd)+relu+BN(inference)+maxpool(2).
+
+    Same math as ``pallas_conv_blockn`` (pair-merged pooled GEMM), but the
+    input never enters a VMEM input block: each (batch-row, chunk) grid step
+    DMAs a ``t_chunk+slack`` row window from HBM, double-buffered so the
+    next window loads while the current chunk runs its MXU matmul. Keeps
+    the input in its native dtype (bf16 halves the stream) and pre-casts
+    the stacked weights to the GEMM dtype.
+
+    Relu is applied before the BN affine here, so the affine is folded as
+    ``relu(conv+bias)·mul + add`` — matching the reference block order
+    (conv→relu→BN→pool, voicemap/models.py :: encoder, SURVEY.md §3.5).
+    """
+    if pool != 2:
+        raise ValueError("pair-merge kernel supports pool=2")
+    B, T, c_in = x.shape
+    k, _ci, c_out = w.shape
+    if k % 2 == 0:
+        raise ValueError("kernel size must be odd for this path")
+    if T % 2:
+        raise ValueError("T must be even")
+    t_out = T // pool
+    t_ch = min(t_chunk, _ceil_to(t_out, WIN_SLACK))
+    t_out_pad = _ceil_to(t_out, t_ch)
+    win = (k - 1) + pool
+    n_slices = win // 2
+    pad_l = (k - 1) // 2
+    # Pair rows available must reach the last window: t_out_pad + slack.
+    total = 2 * (t_out_pad + WIN_SLACK)
+    xp = jnp.pad(x, ((0, 0), (pad_l, total - T - pad_l), (0, 0)))
+    in2 = xp.reshape(B, total // 2, 2 * c_in)
+    w4 = stacked_weights_chan(w, pool).astype(gemm_dtype)
+    inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + bn_eps) * bn_scale
+    aff = jnp.zeros((8, pool * c_out), jnp.float32)
+    aff = aff.at[0].set(jnp.tile(b.astype(jnp.float32), pool))
+    aff = aff.at[1].set(jnp.tile(inv.astype(jnp.float32), pool))
+    aff = aff.at[2].set(
+        jnp.tile((bn_bias - bn_mean * inv).astype(jnp.float32), pool)
+    )
+    n_ch = t_out_pad // t_ch
+    t_win = t_ch + WIN_SLACK
+    kernel = functools.partial(
+        _kernel_chan_streamed,
+        n_b=B, n_ch=n_ch, pool=pool, n_slices=n_slices,
+        t_ch=t_ch, t_win=t_win, c_out=c_out, gemm_dtype=jnp.dtype(gemm_dtype),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_ch),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(w4.shape, lambda bb, cc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(aff.shape, lambda bb, cc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_ch, c_out), lambda bb, cc: (bb, cc, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, t_out_pad, c_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_win, 2 * c_in), x.dtype),
+            pltpu.VMEM((t_win, 2 * c_in), x.dtype),
+            pltpu.VMEM((t_ch, n_slices * 2 * c_in), jnp.dtype(gemm_dtype)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(in2, w4, aff)
+    return out[:, :t_out, :]

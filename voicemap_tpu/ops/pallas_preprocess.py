@@ -31,9 +31,10 @@ module history in benchmarks/bench_kernels.py):
 - dynamic rotates support only 32-bit data → convert int16→f32 pre-roll;
 - dynamic-shift rolls must be written ``(nrows − r) mod nrows``: negative
   dynamic shifts mis-lower and full-length shifts are not reduced;
-- value-level ``lax.dynamic_slice`` does not lower → offsets are quantized to
-  the 128-sample lane width (8 ms @ 16 kHz; augmentation-neutral — the jnp
-  path keeps sample-granular offsets).
+- value-level ``lax.dynamic_slice`` does not lower → the residual 0–127
+  sample offset is applied with a dynamic LANE rotate plus a one-row sublane
+  splice (probed to lower on v5e), making offsets fully sample-granular like
+  the reference's stochastic fragments.
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ from . import preprocess as jnp_pre
 INT16_SCALE = 1.0 / 32768.0
 LANE = 128
 ALIGN_ROWS = 16  # int16 sublane tile: DMA dim-1 starts must divide by this
-OFFSET_QUANTUM = LANE  # offsets are quantized to one lane row (128 samples)
+OFFSET_QUANTUM = 1  # offsets are sample-granular (dynamic lane rotate)
 
 
 def _whiten_cols(x: jnp.ndarray, n_true: int, rms: float, eps: float) -> jnp.ndarray:
@@ -85,7 +86,7 @@ def decimate_store(store: jnp.ndarray, downsampling: int) -> jnp.ndarray:
 
 
 def _gather_whiten_kernel(
-    # scalar prefetch: (3, B) int32 rows = [indices, hi_rows, fine_rows]
+    # scalar prefetch: (4, B) int32 rows = [indices, hi_rows, fine_rows, lane]
     meta_ref,
     # input: store viewed (N, T/128, 128) int16, stays in HBM
     store_ref,
@@ -118,12 +119,20 @@ def _gather_whiten_kernel(
     for r in range(b_blk):
         dma(r).wait()
 
+    lane_pos = jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANE), 1)
     rows = []
     for r in range(b_blk):
         fine = meta_ref[2, i * b_blk + r]
+        lane = meta_ref[3, i * b_blk + r]
         xf = win_ref[r].astype(jnp.float32)
         rolled = pltpu.roll(xf, (win_rows - fine) % win_rows, 0)
-        rows.append(rolled[:frag_rows].reshape(1, frag_rows * LANE))
+        # Sample-granular refinement: rotate lanes left by the residual
+        # 0–127 offset, then splice in the next row's spill — dynamic lane
+        # rotates lower on this Mosaic (probed; 32-bit data only).
+        y = pltpu.roll(rolled, (LANE - lane) % LANE, 1)
+        z = pltpu.roll(y, win_rows - 1, 0)  # z[r] = y[r+1]
+        shifted = jnp.where(lane_pos < LANE - lane, y, z)
+        rows.append(shifted[:frag_rows].reshape(1, frag_rows * LANE))
     x = jnp.concatenate(rows, axis=0) * INT16_SCALE
     if rms is not None:
         x = _whiten_cols(x, frag, rms, eps)
@@ -139,7 +148,7 @@ def _gather_whiten_kernel(
 def pallas_gather_whiten(
     store: jnp.ndarray,  # (N, T_store) int16, padded via pad_store
     indices: jnp.ndarray,  # (B,) int32
-    offsets: jnp.ndarray,  # (B,) int32, multiples of 128; offset + fragment
+    offsets: jnp.ndarray,  # (B,) int32, sample-granular; offset + fragment
     # must stay within the original (pre-pad) row length
     fragment_length: int,
     whiten_rms: Optional[float] = DEFAULT_WHITEN_RMS,
@@ -161,10 +170,12 @@ def pallas_gather_whiten(
     frag_pad = frag_rows * LANE
 
     off_rows = offsets // LANE
+    lane = offsets - off_rows * LANE
     hi = (off_rows // ALIGN_ROWS) * ALIGN_ROWS
     fine = off_rows - hi
     meta = jnp.stack(
-        [indices.astype(jnp.int32), hi.astype(jnp.int32), fine.astype(jnp.int32)]
+        [indices.astype(jnp.int32), hi.astype(jnp.int32),
+         fine.astype(jnp.int32), lane.astype(jnp.int32)]
     )
 
     kernel = functools.partial(
@@ -226,7 +237,9 @@ def pallas_preprocess(
     ds = downsampling
     if store_predecimated or ds == 1:
         if store_predecimated and ds > 1:
-            offsets = (offsets // ds // OFFSET_QUANTUM) * OFFSET_QUANTUM
+            # Offsets arrive in raw-sample units; the store holds decimated
+            # samples, so granularity is one decimated sample (= ds raw).
+            offsets = offsets // ds
             fragment_length = fragment_length // ds
         out = pallas_gather_whiten(
             store, indices, offsets, fragment_length,
@@ -245,5 +258,12 @@ def pallas_preprocess(
 
 
 def quantize_offsets(offsets: jnp.ndarray) -> jnp.ndarray:
-    """Snap offsets to the kernel's 128-sample grid."""
-    return (offsets // OFFSET_QUANTUM) * OFFSET_QUANTUM
+    """Identity — kept for API compatibility.
+
+    Round-1 kernels could only address the 128-sample lane grid; the
+    gather kernel now refines to single samples with a dynamic lane rotate,
+    so offsets pass through unquantized (matching the reference's
+    sample-granular stochastic fragments,
+    voicemap/librispeech.py :: __getitem__).
+    """
+    return offsets

@@ -137,13 +137,12 @@ def fetch_batch(
                 f"store decimated by {store.pallas_ds} but config expects "
                 f"downsampling {d.downsampling}"
             )
-        from ..ops.pallas_preprocess import pallas_gather_whiten, quantize_offsets
+        from ..ops.pallas_preprocess import pallas_gather_whiten
 
         t_out = d.model_length  # store is pre-decimated: lengths in ds units
         offsets = preprocess.sample_offsets(
             key, store.lengths[indices], t_out, stochastic=stochastic
         )
-        offsets = quantize_offsets(offsets)
         out = pallas_gather_whiten(
             store.audio, indices.astype(jnp.int32), offsets, t_out,
             d.whiten_rms, d.whiten_eps,

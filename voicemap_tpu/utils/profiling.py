@@ -1,10 +1,20 @@
 """Profiling / timing harness.
 
 Rebuild of the observability gap in the reference (SURVEY.md §5 "Tracing /
-profiling": absent beyond Keras progress bars): a ``block_until_ready``
-timing harness for utterances/sec/chip and latency percentiles, plus a
-``jax.profiler`` trace context for TensorBoard/Perfetto (the ``--profile``
-flag on the experiment CLIs routes here).
+profiling": absent beyond Keras progress bars): steady-state timing for
+utterances/sec/chip and latency percentiles, plus a ``jax.profiler`` trace
+context for TensorBoard/Perfetto (the ``--profile`` flag on the experiment
+CLIs routes here).
+
+**Synchronization (measured on the axon remote-TPU platform, round 2):**
+``jax.block_until_ready`` does NOT await device execution there — a
+dispatch-only loop "measures" 16 PFLOP/s on a single v5e. The only true
+barrier is a device→host VALUE fetch, which costs a tunnel round-trip
+(~25–40 ms). TPU programs complete in order (verified: fetching only the
+last of N independent dispatches scales linearly in N), so the correct
+recipe is: dispatch N iterations, fetch one tiny value, and subtract the
+1-iteration baseline — ``time_fn``/``throughput`` below implement exactly
+that and stay correct on backends where ``block_until_ready`` works.
 """
 
 from __future__ import annotations
@@ -15,6 +25,31 @@ import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
+import numpy as np
+
+
+def device_fetch_sync(out) -> None:
+    """True synchronization barrier: D2H-fetch one element of ``out``.
+
+    Works on any pytree; prefers a scalar-sized transfer. On the axon
+    platform this is the only call that actually awaits execution.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "dtype")]
+    if not leaves:
+        return
+    leaf = leaves[0]
+    flat = leaf.reshape(-1)[:1] if getattr(leaf, "ndim", 0) else leaf
+    np.asarray(jax.device_get(flat))
+
+
+def _timed_pass(fn, args, kw, iters: int) -> float:
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args, **kw)
+    device_fetch_sync(out)
+    return time.perf_counter() - t0
 
 
 def time_fn(
@@ -24,19 +59,33 @@ def time_fn(
     warmup: int = 5,
     **kw,
 ) -> Dict[str, float]:
-    """Steady-state timing of a (jitted) fn: mean/p50/p95 seconds per call."""
+    """Steady-state seconds/call of a (jitted) fn.
+
+    Slope method: (T(iters) − T(1)) / (iters − 1) cancels the fetch
+    round-trip. The per-sample percentiles use repeated single-shot
+    fetch-synced calls minus the measured fetch baseline (floored at the
+    slope mean), so p50/p95 remain meaningful for latency reporting.
+    """
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    device_fetch_sync(out)
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        out = fn(*args, **kw)
+    device_fetch_sync(out)
+    t1 = _timed_pass(fn, args, kw, 1)
+    tn = _timed_pass(fn, args, kw, max(iters, 2))
+    mean = max((tn - t1) / (max(iters, 2) - 1), 1e-9)
+    # Latency samples: single-shot incl. the synchronization fetch; report
+    # percentiles of max(sample − fetch_overhead, mean).
+    fetch_overhead = max(t1 - mean, 0.0)
     samples = []
-    for _ in range(iters):
+    for _ in range(min(iters, 10)):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kw))
-        samples.append(time.perf_counter() - t0)
+        out = fn(*args, **kw)
+        device_fetch_sync(out)
+        samples.append(max(time.perf_counter() - t0 - fetch_overhead, mean))
     samples.sort()
     return {
-        "mean_s": sum(samples) / len(samples),
+        "mean_s": mean,
         "p50_s": statistics.median(samples),
         "p95_s": samples[min(len(samples) - 1, int(0.95 * len(samples)))],
         "min_s": samples[0],
@@ -46,20 +95,19 @@ def time_fn(
 def throughput(
     fn: Callable, *args, items_per_call: int, iters: int = 30, warmup: int = 5, **kw
 ) -> Dict[str, float]:
-    """items/sec of a (jitted) fn, amortized over ``iters`` back-to-back calls."""
+    """items/sec of a (jitted) fn, amortized over ``iters`` back-to-back
+    calls with a true fetch barrier and the 1-call baseline subtracted."""
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    device_fetch_sync(out)
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    device_fetch_sync(out)
+    t1 = _timed_pass(fn, args, kw, 1)
+    tn = _timed_pass(fn, args, kw, max(iters, 2))
+    sec_per_call = max((tn - t1) / (max(iters, 2) - 1), 1e-9)
     return {
-        "items_per_sec": items_per_call * iters / dt,
-        "sec_per_call": dt / iters,
+        "items_per_sec": items_per_call / sec_per_call,
+        "sec_per_call": sec_per_call,
     }
 
 
