@@ -27,7 +27,7 @@ from voicemap_tpu.ops.pallas_preprocess import (
 )
 
 
-def timeit(fn, *args, iters=30, warmup=3):
+def timeit(fn, *args, iters=100, warmup=3):
     # block_until_ready does not synchronize on the axon remote platform;
     # time via dispatch-N + one D2H value fetch, 1-call baseline subtracted
     # (see voicemap_tpu/utils/profiling.py).
@@ -181,12 +181,57 @@ def bench_conv_train(Bb=2048, T=12000, C=128, K=32, POOL=4):
     return {"flax": t_flax, "fused_pallas": t_pl}
 
 
+def bench_blockn(Bb=2048):
+    """Blocks 1–3 of the production encoder: XLA emitter vs streamed kernel."""
+    from voicemap_tpu.models.fast_infer import _xla_block
+    from voicemap_tpu.ops.pallas_conv import pallas_conv_blockn_streamed
+
+    rng = np.random.default_rng(3)
+    shapes = [  # (T, Cin, Cout) for blocks 1..3 at T_model=12000 (3 s, ds 4)
+        (3000, 128, 256), (1500, 256, 384), (750, 384, 512),
+    ]
+    totals = {"xla": 0.0, "streamed": 0.0}
+    for T, ci, co in shapes:
+        x = jnp.asarray(rng.standard_normal((Bb, T, ci)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((3, ci, co)) * 0.05, jnp.float32)
+        b = jnp.zeros((co,), jnp.float32)
+        sc = jnp.ones((co,), jnp.float32)
+        bi = jnp.zeros((co,), jnp.float32)
+        mu = jnp.zeros((co,), jnp.float32)
+        va = jnp.ones((co,), jnp.float32)
+
+        @jax.jit
+        def xla(x):
+            blk = {"conv": {"kernel": w, "bias": b},
+                   "bn": {"scale": sc, "bias": bi}}
+            return _xla_block(x, blk, {"mean": mu, "var": va}, 2, 1, 1e-3,
+                              jnp.bfloat16)
+
+        @jax.jit
+        def streamed(x):
+            return pallas_conv_blockn_streamed(x, w, b, sc, bi, mu, va, 1e-3)
+
+        ref = np.asarray(xla(x), np.float32)
+        got = np.asarray(streamed(x), np.float32)
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+        t_x = timeit(xla, x, iters=20)
+        t_s = timeit(streamed, x, iters=20)
+        totals["xla"] += t_x
+        totals["streamed"] += t_s
+        print(f"blockn T={T} {ci}->{co}: xla {t_x*1e3:.2f} ms | "
+              f"streamed {t_s*1e3:.2f} ms  (rel err {err:.1e})")
+    print(f"blockn total: xla {totals['xla']*1e3:.2f} ms | "
+          f"streamed {totals['streamed']*1e3:.2f} ms  (B={Bb})")
+    return totals
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "parts", nargs="*", default=["preprocess", "l1", "melspec", "conv_train"]
+        "parts", nargs="*",
+        default=["preprocess", "l1", "melspec", "conv_train", "blockn"],
     )
     a = ap.parse_args()
     print("backend:", jax.default_backend(), flush=True)
@@ -198,3 +243,5 @@ if __name__ == "__main__":
         bench_melspec()
     if "conv_train" in a.parts:
         bench_conv_train()
+    if "blockn" in a.parts:
+        bench_blockn()

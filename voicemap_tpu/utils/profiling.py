@@ -71,8 +71,8 @@ def time_fn(
     for _ in range(warmup):
         out = fn(*args, **kw)
     device_fetch_sync(out)
-    t1 = _timed_pass(fn, args, kw, 1)
-    tn = _timed_pass(fn, args, kw, max(iters, 2))
+    t1 = min(_timed_pass(fn, args, kw, 1) for _ in range(3))
+    tn = min(_timed_pass(fn, args, kw, max(iters, 2)) for _ in range(3))
     mean = max((tn - t1) / (max(iters, 2) - 1), 1e-9)
     # Latency samples: single-shot incl. the synchronization fetch; report
     # percentiles of max(sample − fetch_overhead, mean).
@@ -102,9 +102,10 @@ def throughput(
     for _ in range(warmup):
         out = fn(*args, **kw)
     device_fetch_sync(out)
-    t1 = _timed_pass(fn, args, kw, 1)
-    tn = _timed_pass(fn, args, kw, max(iters, 2))
-    sec_per_call = max((tn - t1) / (max(iters, 2) - 1), 1e-9)
+    n = max(iters, 2)
+    t1 = min(_timed_pass(fn, args, kw, 1) for _ in range(3))
+    tn = min(_timed_pass(fn, args, kw, n) for _ in range(3))
+    sec_per_call = max((tn - t1) / (n - 1), 1e-9)
     return {
         "items_per_sec": items_per_call / sec_per_call,
         "sec_per_call": sec_per_call,
