@@ -367,7 +367,7 @@ def _kernel_chan_streamed(
     w4_ref,  # (win*C, pool*C') gemm_dtype, VMEM
     aff_ref,  # (8, pool*C') f32: [0]=bias, [1]=bn_mul, [2]=bn_add (tiled)
     o_ref,  # out block (1, t_ch, C')
-    win0_ref,  # scratch (t_win, 2C) in2.dtype — double-buffer slot 0
+    win0_ref,  # scratch (b_blk, t_win, 2C) in2.dtype — double-buffer slot 0
     win1_ref,  # slot 1 (two named refs: a dynamic slot index would be a
     #            value-level dynamic slice, which does not lower)
     f_ref,  # scratch (t_ch, n_slices*2C) gemm_dtype — frame matrix
@@ -375,6 +375,7 @@ def _kernel_chan_streamed(
     *,
     n_b: int,
     n_ch: int,
+    b_blk: int,
     pool: int,
     n_slices: int,
     t_ch: int,
@@ -390,7 +391,8 @@ def _kernel_chan_streamed(
     def dma(buf_ref, slot, bb, cc):
         base = pl.multiple_of(cc * t_ch, WIN_SLACK)
         return pltpu.make_async_copy(
-            in2_ref.at[bb, pl.ds(base, t_win)], buf_ref, sems.at[slot],
+            in2_ref.at[pl.ds(bb * b_blk, b_blk), pl.ds(base, t_win)],
+            buf_ref, sems.at[slot],
         )
 
     @pl.when(i == 0)
@@ -410,18 +412,21 @@ def _kernel_chan_streamed(
 
     def compute(buf_ref, slot):
         dma(buf_ref, slot, b, ch).wait()
-        win = buf_ref[:]
-        c2 = win.shape[1]
-        for s in range(n_slices):
-            f_ref[:, s * c2 : (s + 1) * c2] = win[s : s + t_ch].astype(
-                gemm_dtype
-            )
-        y = jnp.dot(f_ref[:], w4_ref[:], preferred_element_type=jnp.float32)
-        y = jax.nn.relu(y + aff_ref[0:1, :]) * aff_ref[1:2, :] + aff_ref[2:3, :]
-        out = y[:, :c_out]
-        for j in range(1, pool):
-            out = jnp.maximum(out, y[:, j * c_out : (j + 1) * c_out])
-        o_ref[0] = out.astype(o_ref.dtype)
+        for r in range(b_blk):
+            win = buf_ref[r]
+            c2 = win.shape[1]
+            for s in range(n_slices):
+                f_ref[:, s * c2 : (s + 1) * c2] = win[s : s + t_ch].astype(
+                    gemm_dtype
+                )
+            y = jnp.dot(f_ref[:], w4_ref[:],
+                        preferred_element_type=jnp.float32)
+            y = (jax.nn.relu(y + aff_ref[0:1, :]) * aff_ref[1:2, :]
+                 + aff_ref[2:3, :])
+            out = y[:, :c_out]
+            for j in range(1, pool):
+                out = jnp.maximum(out, y[:, j * c_out : (j + 1) * c_out])
+            o_ref[r] = out.astype(o_ref.dtype)
 
     @pl.when(i % 2 == 0)
     def _even():
@@ -434,7 +439,8 @@ def _kernel_chan_streamed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pool", "t_chunk", "interpret", "out_dtype", "gemm_dtype"),
+    static_argnames=("pool", "t_chunk", "block_rows", "interpret", "out_dtype",
+                     "gemm_dtype"),
 )
 def pallas_conv_blockn_streamed(
     x: jnp.ndarray,  # (B, T, C) activations, T even
@@ -446,7 +452,8 @@ def pallas_conv_blockn_streamed(
     bn_var: jnp.ndarray,
     bn_eps: float = 1e-3,
     pool: int = 2,
-    t_chunk: int = 512,
+    t_chunk: int = 1536,
+    block_rows: int = 4,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
     gemm_dtype=jnp.bfloat16,
@@ -492,14 +499,17 @@ def pallas_conv_blockn_streamed(
     )
     n_ch = t_out_pad // t_ch
     t_win = t_ch + WIN_SLACK
+    while block_rows > 1 and B % block_rows:
+        block_rows //= 2
+    n_b = B // block_rows
     kernel = functools.partial(
         _kernel_chan_streamed,
-        n_b=B, n_ch=n_ch, pool=pool, n_slices=n_slices,
+        n_b=n_b, n_ch=n_ch, b_blk=block_rows, pool=pool, n_slices=n_slices,
         t_ch=t_ch, t_win=t_win, c_out=c_out, gemm_dtype=jnp.dtype(gemm_dtype),
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_ch),
+        grid=(n_b, n_ch),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(w4.shape, lambda bb, cc: (0, 0),
@@ -508,13 +518,13 @@ def pallas_conv_blockn_streamed(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_ch, c_out), lambda bb, cc: (bb, cc, 0),
+            (block_rows, t_ch, c_out), lambda bb, cc: (bb, cc, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, t_out_pad, c_out), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((t_win, 2 * c_in), x.dtype),
-            pltpu.VMEM((t_win, 2 * c_in), x.dtype),
+            pltpu.VMEM((block_rows, t_win, 2 * c_in), x.dtype),
+            pltpu.VMEM((block_rows, t_win, 2 * c_in), x.dtype),
             pltpu.VMEM((t_ch, n_slices * 2 * c_in), jnp.dtype(gemm_dtype)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
