@@ -23,7 +23,13 @@ if _platform == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 else:
-    import jax  # noqa: F401
+    import jax
+
+    # Parity tests compare float32 against numpy; TPU matmuls default to
+    # bfloat16 operand precision, which misses the 1e-4 tolerances. Run the
+    # suite at full f32 matmul precision (tests that exercise bf16 behavior
+    # request bf16 dtypes explicitly and are unaffected).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest

@@ -415,3 +415,28 @@ def test_distributed_helpers_single_process():
     assert dict(mesh2.shape) == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         distributed.global_mesh({"data": 3})
+
+
+def test_dp_classifier_fused_block0_matches_flax_step(mesh8, dp_store, corpus_root):
+    """The fused block-0 loss path under shard_map: same losses as the flax
+    DP step at float32 (the fused custom VJP composes with pmean of grads
+    and BN stats)."""
+    import dataclasses
+
+    store, ds = dp_store
+    base = _dp_cfg(corpus_root, "classifier")
+    runs = {}
+    for flag in (True, False):
+        cfg = base.replace(
+            train=dataclasses.replace(base.train, use_fused_block0=flag)
+        )
+        model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+        state = init_model_state(model, cfg)
+        step, _ = data_parallel.make_dp_classifier_train_step(model, cfg, mesh8)
+        key = jax.random.PRNGKey(3)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, store, key)
+            losses.append(float(m["loss"]))
+        runs[flag] = losses
+    np.testing.assert_allclose(runs[True], runs[False], rtol=1e-4, atol=1e-4)
