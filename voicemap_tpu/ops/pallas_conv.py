@@ -511,7 +511,7 @@ def pallas_conv_blockn_streamed(
         kernel,
         grid=(n_b, n_ch),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(w4.shape, lambda bb, cc: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aff.shape, lambda bb, cc: (0, 0),
