@@ -187,8 +187,11 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
             return model.apply(variables, x, train=False)
 
-    lat = profiling.time_fn(embed_one, one_store, one_off, iters=30)
-    p50_ms = lat["p50_s"] * 1e3
+    # Batch-1 device time is tens of µs — use many amortized iterations so
+    # the slope clears the tunnel-RTT jitter, and report the steady-state
+    # per-call time (single-shot "p50" on this platform measures the RTT).
+    lat = profiling.time_fn(embed_one, one_store, one_off, iters=400)
+    p50_ms = lat["mean_s"] * 1e3
     return {"utt_per_sec": utt_per_sec, "p50_embed_ms": p50_ms,
             "batch": batch_size, "backend": jax.default_backend()}
 
