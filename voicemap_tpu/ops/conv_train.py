@@ -35,7 +35,9 @@ Backward
         dz = 1[a>0] · (c0·g_routed + c1 + c2·a)
         dW = framesᵀ @ dz        (one GEMM, full-rate ``a``/``dz`` recomputed
                                   chunk-wise in VMEM, never materialized)
-        db, dγ, dβ               (pool-rate reductions, XLA)
+        db = Σ dz                (accumulated f32 in the same core, over the
+                                  same routing/gating as dW — self-consistent)
+        dγ, dβ                   (pool-rate reductions, XLA)
 
     The gradient w.r.t. the block input is intentionately **zero**: block 0
     is the model's first layer and its input is non-differentiable audio
@@ -79,7 +81,7 @@ def _xla_fwd_core(x, w, b, sgn, pool, dtype):
 
 
 def _xla_bwd_core(x, w, b, sgn, g, c0, c1, c2, pool, dtype):
-    """Full-rate oracle backward: (dw, db_direct).
+    """Full-rate oracle backward: (dw, db).
 
     Recomputes the activation AND the pool's selection (sign-directed max)
     so the routing is self-consistent — no bitwise-equality dependence on
@@ -171,22 +173,21 @@ def make_fused_block0_train(
     def fwd(x, w, b, gamma, beta):
         N = x.shape[0] * x.shape[1]
         sgn = jnp.where(gamma >= 0, 1.0, -1.0).astype(jnp.float32)
-        a_sel, sum_a, sumsq_a, cnt = fwd_core(x, w, b, sgn)
+        a_sel, sum_a, sumsq_a, _cnt = fwd_core(x, w, b, sgn)
         mu = sum_a / N
         var = jnp.maximum(sumsq_a / N - mu * mu, 0.0)
         r = jax.lax.rsqrt(var + eps)
         pooled = (a_sel.astype(jnp.float32) - mu) * (gamma * r) + beta
-        res = (x, w, b, gamma, sgn, a_sel, mu, var, sum_a, cnt)
+        res = (x, w, b, gamma, sgn, a_sel, mu, var)
         return (pooled, mu, var), res
 
     def bwd(res, cots):
         g, g_mu, g_var = cots
-        x, w, b, gamma, sgn, a_sel, mu, var, sum_a, cnt = res
+        x, w, b, gamma, sgn, a_sel, mu, var = res
         N = x.shape[0] * x.shape[1]
         r = jax.lax.rsqrt(var + eps)
         m = gamma * r
-        a_self32 = a_sel.astype(jnp.float32)
-        ahat_sel = (a_self32 - mu) * r
+        ahat_sel = (a_sel.astype(jnp.float32) - mu) * r
         S1 = jnp.sum(g, axis=(0, 1))
         S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
         dbeta = S1
@@ -197,20 +198,20 @@ def make_fused_block0_train(
         c0 = m
         c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
         c2 = -m * r * S2 / N + 2.0 * g_var / N
+        # db = Σ dz comes from the same core that routes dW, so the bias
+        # gradient shares the weight gradient's f32 activation gate exactly
+        # (round-2 advisor: the old pool-rate identity re-derived the gate
+        # from sel_dtype-rounded a_sel — ulp-inconsistent under bf16).
         if impl == "xla":
-            dw, _db_direct = _xla_bwd_core(
+            dw, db = _xla_bwd_core(
                 x, w, b, sgn, g, c0, c1, c2, pool, dtype
             )
         else:
             from .pallas_conv_train import pallas_bwd_core
-            dw = pallas_bwd_core(
+            dw, db = pallas_bwd_core(
                 x, w, b, sgn, g, c0, c1, c2, pool=pool,
                 gemm_dtype=dtype, interpret=interpret,
             )
-        # db is a pool-rate identity: Σ dz = c0·Σ g·1[a_sel>0]
-        #   + c1·#(a>0) + c2·Σa  (g is nonzero only at selected positions).
-        S1p = jnp.sum(g * (a_self32 > 0), axis=(0, 1))
-        db = c0 * S1p + c1 * cnt + c2 * sum_a
         dx = jnp.zeros_like(x)  # first-layer op: input grad undefined by design
         return dx, dw.astype(w.dtype), db, dgamma, dbeta
 

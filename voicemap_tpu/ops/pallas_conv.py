@@ -480,7 +480,10 @@ def pallas_conv_blockn_streamed(
     if T % 2:
         raise ValueError("T must be even")
     t_out = T // pool
-    t_ch = min(t_chunk, _ceil_to(t_out, WIN_SLACK))
+    # Chunk starts index the sublane dim at cc * t_ch, promised to Mosaic as
+    # a multiple of WIN_SLACK in the kernel's DMA — so t_ch itself must be a
+    # WIN_SLACK multiple or the hint is a lie (misaligned DMA on hardware).
+    t_ch = _ceil_to(min(t_chunk, _ceil_to(t_out, WIN_SLACK)), WIN_SLACK)
     t_out_pad = _ceil_to(t_out, t_ch)
     win = (k - 1) + pool
     n_slices = win // 2

@@ -17,9 +17,11 @@ Backward core
     bit patterns — routes the pooled cotangent to the first maximal phase
     (matching XLA's reduce_window max-gradient tie-break), forms
     ``dz = 1[a>0]·(c0·g_routed + c1 + c2·a)`` in VMEM, and accumulates the
-    stacked weight gradient ``dW4 += Fᵀ·dz`` (second GEMM). Only ``dW4``
-    — (win_rows, pool·C) — ever reaches HBM; the host-side wrapper
-    un-stacks it to the conv kernel layout.
+    stacked weight gradient ``dW4 += Fᵀ·dz`` (second GEMM) plus ``Σ dz``
+    (the bias gradient, f32, same routing/gating as dW — self-consistent by
+    construction). Only ``dW4`` — (win_rows, pool·C) — and the (8, pool·C)
+    stats row ever reach HBM; the host-side wrapper un-stacks dW4 to the
+    conv kernel layout and folds the stats row to ``db (C,)``.
 
 The full-rate activation never leaves VMEM in either direction; per-step
 HBM traffic is the phase-split input + the two pool-rate tensors.
@@ -126,6 +128,7 @@ def _bwd_kernel(
     affc_ref,  # (8, C) f32: [2]=c0, [3]=c1, [4]=c2 — full-row reads only
     g_ref,  # (b_blk, t_out_pad, C) — pooled cotangent, zero-padded
     dw4_ref,  # out (rows_pad, pool*C) f32 accumulator
+    dstats_ref,  # out (8, pool*C) f32: [0] = Σ dz (→ db), f32-accumulated
     fst_ref,  # scratch (rows_pad, t_ch) gemm_dtype
     dz_ref,  # scratch (t_ch, pool*C) gemm_dtype
     *,
@@ -146,6 +149,7 @@ def _bwd_kernel(
     @pl.when(i == 0)
     def _init():
         dw4_ref[:] = jnp.zeros_like(dw4_ref)
+        dstats_ref[:] = jnp.zeros_like(dstats_ref)
 
     bias = aff_ref[0:1, :]  # keep rows 2-D: 1-D lane slices mis-lower
     sgn = aff_ref[1:2, :]
@@ -155,6 +159,7 @@ def _bwd_kernel(
     rolled = _build_rolled(x4t_ref, b_blk, pool, n_q)
 
     acc = jnp.zeros((rows_pad, pool * c), jnp.float32)
+    sum_dz = [jnp.zeros((1, c), jnp.float32) for _ in range(pool)]
     for row in range(b_blk):
         for ch in range(t_out_pad // t_ch):
             base = ch * t_ch
@@ -184,11 +189,18 @@ def _bwd_kernel(
                 da_j = c0 * g_j + c1 + c2 * a_j
                 dz_j = jnp.where((a_j > 0) & valid, da_j, 0.0)
                 dz_ref[:, j * c : (j + 1) * c] = dz_j.astype(gemm_dtype)
+                # Σ dz (→ db) in f32 BEFORE the gemm-dtype cast, over the
+                # exact routing used for dW — keeps the bias gradient
+                # self-consistent with the weight gradient (round-2 advisor
+                # finding: the old pool-rate identity gated on bf16-rounded
+                # a_sel, disagreeing with the f32 gate used here).
+                sum_dz[j] = sum_dz[j] + jnp.sum(dz_j, axis=0, keepdims=True)
             # dW4 += Fᵀ·dz: fst is already (rows_pad, t_ch) = Fᵀ.
             acc += jnp.dot(
                 fst_ref[:], dz_ref[:], preferred_element_type=jnp.float32
             )
     dw4_ref[:] += acc
+    dstats_ref[0:1, :] += jnp.concatenate(sum_dz, axis=1)
 
 
 def _prep(x, w, pool, t_chunk, block_rows):
@@ -289,8 +301,8 @@ def pallas_bwd_core(
     t_chunk: int = 1024,
     block_rows: int = 2,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Conv weight gradient dw (k, 1, C)."""
+):
+    """(dw (k, 1, C), db (C,)) — weight + bias grads, self-consistent routing."""
     gdt = jnp.dtype(gemm_dtype)
     (x, x4t, w4, win, rows_pad, t_out, t_out_pad, t_ch, b_blk, c) = _prep(
         x, w, pool, t_chunk, block_rows
@@ -311,7 +323,7 @@ def pallas_bwd_core(
         _bwd_kernel, b_blk=b_blk, pool=pool, win=win, rows_pad=rows_pad,
         t_out=t_out, t_out_pad=t_out_pad, t_ch=t_ch, c=c, gemm_dtype=gdt,
     )
-    dw4 = pl.pallas_call(
+    dw4, dstats = pl.pallas_call(
         kernel,
         grid=(B // b_blk,),
         in_specs=[
@@ -323,15 +335,23 @@ def pallas_bwd_core(
             pl.BlockSpec((b_blk, t_out_pad, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows_pad, pool * c), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, pool * c), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((rows_pad, pool * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pool * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, pool * c), jnp.float32),
+            jax.ShapeDtypeStruct((8, pool * c), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((rows_pad, t_ch), gdt),
             pltpu.VMEM((t_ch, pool * c), gdt),
         ],
         interpret=interpret,
     )(x4t, w4, aff, affc, g_p)
+    db = dstats[0].reshape(pool, c).sum(axis=0)
     # Un-stack: dw[i, 0, c'] = Σ_{(m,j): m−j=i} dW4[m, j·C+c']  (the adjoint of
     # stacked_weights' scatter).
     dw4 = dw4.reshape(rows_pad, pool, c)
@@ -341,4 +361,4 @@ def pallas_bwd_core(
             i = m - j
             if 0 <= i < k:
                 dw = dw.at[i].add(dw4[m, j])
-    return dw[:, None, :]
+    return dw[:, None, :], db
