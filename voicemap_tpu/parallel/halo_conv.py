@@ -122,6 +122,76 @@ def sharded_encoder_apply(
     return x @ emb["kernel"].astype(jnp.float32) + emb["bias"]
 
 
+def sharded_encoder_train_apply(
+    params: dict,
+    batch_stats: dict,
+    cfg: EncoderConfig,
+    x_local: jnp.ndarray,
+    seq_axis: str,
+    stat_axes: tuple,
+    dropout_key=None,
+):
+    """TRAIN-mode forward of ConvEncoder over time-sharded input.
+
+    Runs inside shard_map. BatchNorm batch statistics reduce over the local
+    (batch, time) block AND over every mesh axis in ``stat_axes`` (the seq
+    axis reassembles the full time extent; including the data axis gives
+    cross-replica BN, matching data_parallel's DP semantics) — so a
+    ``(data × seq)`` step with ``stat_axes=(data, seq)`` has exactly the
+    single-device full-batch flax train semantics, which the property test
+    exploits (tests/test_parallel.py::test_dp_sp_grads_match_single_device).
+
+    Spatial dropout masks broadcast over time, so one mask per (batch row,
+    channel) must be shared by every seq shard: pass a ``dropout_key`` that
+    is identical across the seq axis (fold only the data index).
+
+    → (embedding (B_local, D) f32, new_batch_stats pytree).
+    """
+    stats = batch_stats
+    x = x_local.astype(jnp.float32)
+    new_stats: dict = {}
+    m = cfg.bn_momentum
+    for i, (mult, k, p_sz, dil) in enumerate(
+        zip(cfg.filter_multipliers, cfg.kernel_sizes, cfg.pool_sizes, cfg.dilations)
+    ):
+        blk = params[f"block_{i}"]
+        bst = stats[f"block_{i}"]["bn"]
+        a = jax.nn.relu(
+            halo_conv1d(x, blk["conv"]["kernel"].astype(jnp.float32),
+                        blk["conv"]["bias"].astype(jnp.float32), axis=seq_axis,
+                        dilation=dil)
+        )
+        mu = jnp.mean(a, axis=(0, 1))
+        e2 = jnp.mean(a * a, axis=(0, 1))
+        for ax in stat_axes:
+            mu = jax.lax.pmean(mu, ax)
+            e2 = jax.lax.pmean(e2, ax)
+        var = jnp.maximum(e2 - mu * mu, 0.0)
+        r = jax.lax.rsqrt(var + cfg.bn_epsilon)
+        x = (a - mu) * (blk["bn"]["scale"] * r) + blk["bn"]["bias"]
+        if cfg.dropout > 0.0:
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(dropout_key, i), keep,
+                (x.shape[0], 1, x.shape[2]),
+            )
+            x = jnp.where(mask, x / keep, 0.0)
+        if p_sz > 1:
+            B, T, C = x.shape
+            x = x.reshape(B, T // p_sz, p_sz, C).max(axis=2)
+        new_stats[f"block_{i}"] = {"bn": {
+            "mean": m * bst["mean"] + (1.0 - m) * mu,
+            "var": m * bst["var"] + (1.0 - m) * var,
+        }}
+    # Differentiable global max over the sharded time axis (all_gather+max;
+    # pmax has no JVP rule).
+    x = jnp.max(x, axis=1)
+    x = jnp.max(jax.lax.all_gather(x, seq_axis), axis=0)
+    emb = params["embed"]
+    out = x @ emb["kernel"].astype(jnp.float32) + emb["bias"]
+    return out, new_stats
+
+
 def make_sharded_embed_fn(cfg: EncoderConfig, mesh: Mesh, axis: str = "seq"):
     """jit(shard_map) wrapper: (variables, x (B, T, 1)) → (B, D) embeddings,
     with x sharded along time over ``axis`` and the result replicated."""

@@ -11,6 +11,15 @@ Works for any ``stage_fn`` whose input/output activations have the same
 shape (e.g. a residual conv block or a square dense layer). Property-tested
 against the sequential application on the faked CPU mesh, and exercised by
 ``__graft_entry__.dryrun_multichip``.
+
+The pipeline is fully differentiable: every op in the tick loop (``scan``,
+``ppermute``, ``dynamic_update_slice``, ``psum``) has a transpose rule, so
+the GPipe BACKWARD is plain ``jax.grad`` through the forward — XLA inverts
+the ppermute ring for the cotangent hops (activations flow stage s→s+1,
+cotangents s+1→s), exactly GPipe's 1F-then-1B schedule at program level.
+``make_gpipe_train_step`` packages that: loss + grads for the stacked stage
+parameters, property-tested equal to sequential autodiff
+(tests/test_parallel.py::test_gpipe_grads_match_sequential).
 """
 
 from __future__ import annotations
@@ -81,3 +90,31 @@ def make_gpipe_fn(
             check_vma=False,
         )
     )
+
+
+def make_gpipe_train_step(
+    mesh: Mesh,
+    stage_fn: Callable,
+    loss_fn: Callable,
+    n_microbatches: int,
+    axis: str = "pp",
+):
+    """Returns jitted ``(stacked_params, x, y) → (loss, grads)``.
+
+    ``loss_fn(outputs, y) → scalar`` consumes the pipeline's microbatched
+    outputs. ``grads`` has the same stacked-stage structure as
+    ``stacked_params`` (leading dim S, sharded over ``axis``); feed it to any
+    optax update. The backward pass rides the transposed pipeline (inverted
+    ppermute ring) inside the same compiled program — no separate schedule
+    code.
+    """
+    gpipe = make_gpipe_fn(mesh, stage_fn, n_microbatches, axis=axis)
+
+    @jax.jit
+    def step(stacked_params, x, y):
+        def objective(p):
+            return loss_fn(gpipe(p, x), y)
+
+        return jax.value_and_grad(objective)(stacked_params)
+
+    return step

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..config import EncoderConfig
+
 
 def column_parallel_dense(
     x: jnp.ndarray,  # (B, D) replicated
@@ -75,6 +77,76 @@ def make_tp_mlp(mesh: Mesh, axis: str = "model"):
             check_vma=False,
         )
     )
+
+
+def make_tp_encoder_embed_fn(
+    cfg: EncoderConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """The REAL encoder's eval forward with its embed head tensor-parallel.
+
+    Returns jitted ``(variables, x (B, T, 1)) → (B, E)`` equal to
+    ``ConvEncoder.apply(variables, x, train=False)``: the conv trunk runs
+    batch-sharded over ``data_axis`` (plain DP), and the final Dense embed
+    — the model's one TP-worthy matmul (SURVEY.md §2.2) — runs
+    column-parallel over ``model_axis`` of the same 2-D mesh: each device
+    holds an (F, E/n) kernel shard, computes its embedding-feature shard,
+    and ``all_gather`` reassembles (B_local, E). Weights arrive whole and
+    are sharded by in_specs — the mesh layout, not the caller, owns
+    distribution.
+    """
+
+    def device_fn(variables, x_local):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        h = x_local.astype(jnp.float32)
+        for i, (mult, k, p_sz, dil) in enumerate(
+            zip(cfg.filter_multipliers, cfg.kernel_sizes, cfg.pool_sizes,
+                cfg.dilations)
+        ):
+            blk = params[f"block_{i}"]
+            bst = stats[f"block_{i}"]["bn"]
+            h = jax.lax.conv_general_dilated(
+                h, blk["conv"]["kernel"].astype(jnp.float32), (1,), "SAME",
+                rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + blk["conv"]["bias"].astype(jnp.float32)
+            h = jax.nn.relu(h)
+            inv = jax.lax.rsqrt(bst["var"] + cfg.bn_epsilon) * blk["bn"]["scale"]
+            h = (h - bst["mean"]) * inv + blk["bn"]["bias"]
+            if p_sz > 1:
+                B, T, C = h.shape
+                h = h.reshape(B, T // p_sz, p_sz, C).max(axis=2)
+        h = jnp.max(h, axis=1)
+        emb = params["embed"]
+        return column_parallel_dense(
+            h, emb["kernel"].astype(jnp.float32), emb["bias"], model_axis,
+            gather_output=True,
+        )
+
+    def _var_specs(variables):
+        def spec_for(path, leaf):
+            names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+            if "embed" in names and "kernel" in names:
+                return P(None, model_axis)
+            if "embed" in names and "bias" in names:
+                return P(model_axis)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec_for, variables)
+
+    def apply(variables, x):
+        f = jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(_var_specs(variables), P(data_axis, None, None)),
+            out_specs=P(data_axis, None),
+            check_vma=False,
+        )
+        return f(variables, x)
+
+    return jax.jit(apply)
 
 
 def make_tp_embed_head(mesh: Mesh, axis: str = "model"):
