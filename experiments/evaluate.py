@@ -39,6 +39,14 @@ def parse_args():
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--fast", action="store_true",
                    help="embed with the Pallas fused-conv inference forward (TPU)")
+    p.add_argument("--protocol", action="store_true",
+                   help="run the frozen EVAL_PROTOCOL.json manifest (pinned "
+                        "seeds/subsets/fragments, corpus-identity check, "
+                        "JSON output) — the reference-parity command")
+    p.add_argument("--allow-corpus-mismatch", action="store_true",
+                   help="with --protocol: run anyway on a corpus that fails "
+                        "the manifest identity check; results are marked "
+                        "non-comparable")
     return p.parse_args()
 
 
@@ -89,6 +97,20 @@ def main():
         print(f"restored {args.which} checkpoint at step {int(state.step)}")
     else:
         print("WARNING: evaluating an untrained (random-init) model")
+
+    if args.protocol:
+        import json
+
+        from voicemap_tpu.eval import protocol
+
+        results = protocol.run_protocol(
+            model, state, args.data_root, cfg,
+            allow_corpus_mismatch=args.allow_corpus_mismatch,
+            max_store_seconds=args.max_store_seconds, fast=args.fast,
+        )
+        for r in results:
+            print(json.dumps(r))
+        return
 
     acc = nshot.evaluate(
         model, state, store, cfg, jax.random.PRNGKey(args.seed),

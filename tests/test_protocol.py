@@ -1,0 +1,102 @@
+"""Frozen eval-protocol manifest tests (EVAL_PROTOCOL.json + eval/protocol.py)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from voicemap_tpu.config import (
+    DataConfig, EncoderConfig, ExperimentConfig, TrainConfig,
+)
+from voicemap_tpu.data import synthetic
+from voicemap_tpu.data.dataset import SpeakerDataset
+from voicemap_tpu.eval import protocol
+from voicemap_tpu.models.classifier import SpeakerClassifier
+from voicemap_tpu.train.loop import init_model_state
+
+
+@pytest.fixture(scope="module")
+def proto_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proto_corpus")
+    spec = synthetic.SyntheticSpec(
+        n_speakers=12, utterances_per_speaker=7,
+        min_seconds=3.2, max_seconds=4.0, seed=5,
+    )
+    synthetic.generate_corpus(str(root), subsets=("dev-clean", "test-clean"),
+                              spec=spec)
+    return str(root)
+
+
+def _model_and_cfg(proto_corpus):
+    cfg = ExperimentConfig(
+        mode="classifier",
+        data=DataConfig(data_root=proto_corpus, subsets=("dev-clean",)),
+        encoder=EncoderConfig(filters=4, embedding_dim=8, dropout=0.0,
+                              compute_dtype="float32"),
+        train=TrainConfig(),
+    )
+    model = SpeakerClassifier(cfg.encoder, num_classes=12)
+    state = init_model_state(model, cfg)
+    return model, state, cfg
+
+
+def test_manifest_loads_and_is_frozen():
+    m = protocol.load_manifest()
+    assert m["version"] == 1
+    assert m["task_seed"] == 1906
+    assert m["fragment"]["whiten_rms"] == 0.038021
+    assert m["fragment"]["stochastic"] is False
+    names = [e["name"] for e in m["entries"]]
+    assert "dev-clean_1shot_5way" in names
+    assert m["corpus_identity"]["dev-clean"]["n_utterances"] == 2703
+    assert m["corpus_identity"]["test-clean"]["n_utterances"] == 2620
+
+
+def test_fingerprint_deterministic(proto_corpus):
+    ds1 = SpeakerDataset(subsets=("dev-clean",), seconds=3.0,
+                         data_root=proto_corpus, seed=0)
+    ds2 = SpeakerDataset(subsets=("dev-clean",), seconds=3.0,
+                         data_root=proto_corpus, seed=9)
+    assert protocol.corpus_fingerprint(ds1) == protocol.corpus_fingerprint(ds2)
+    ds3 = SpeakerDataset(subsets=("test-clean",), seconds=3.0,
+                         data_root=proto_corpus, seed=0)
+    assert protocol.corpus_fingerprint(ds1) != protocol.corpus_fingerprint(ds3)
+
+
+def test_protocol_refuses_wrong_corpus(proto_corpus):
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    with pytest.raises(ValueError, match="EVAL_PROTOCOL"):
+        protocol.run_protocol(model, state, proto_corpus, cfg)
+
+
+def test_protocol_runs_with_mismatch_override(proto_corpus):
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    results = protocol.run_protocol(
+        model, state, proto_corpus, cfg, allow_corpus_mismatch=True,
+        max_store_seconds=5.0,
+    )
+    m = protocol.load_manifest()
+    assert len(results) == len(m["entries"])
+    for r in results:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["ci95"][0] <= r["accuracy"] <= r["ci95"][1]
+        assert r["corpus_verified"] is False
+        assert r["comparable_to_reference"] is False
+        assert r["task_seed"] == 1906
+        json.dumps(r)  # machine-readable
+
+
+def test_protocol_seed_pinned_reproducible(proto_corpus):
+    """Same manifest seeds ⇒ bit-identical accuracy across runs."""
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    m["entries"] = m["entries"][:1]
+    r1 = protocol.run_protocol(model, state, proto_corpus, cfg, manifest=m,
+                               allow_corpus_mismatch=True,
+                               max_store_seconds=5.0)
+    r2 = protocol.run_protocol(model, state, proto_corpus, cfg, manifest=m,
+                               allow_corpus_mismatch=True,
+                               max_store_seconds=5.0)
+    assert r1[0]["accuracy"] == r2[0]["accuracy"]
+    assert r1[0]["corpus_fingerprint"] == r2[0]["corpus_fingerprint"]

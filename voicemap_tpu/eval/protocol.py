@@ -1,0 +1,151 @@
+"""Frozen eval-protocol runner (EVAL_PROTOCOL.json).
+
+The reference's defining metric is n-shot k-way accuracy under a fixed
+evaluation protocol (reference: ``voicemap/utils.py ::
+n_shot_task_evaluation`` + the validation settings of
+``experiments/train_siamese_net.py``). The real LibriSpeech corpus is not
+available in-sandbox, so accuracy PARITY cannot be measured yet — this
+module makes it a one-command affair for the day it can: load the manifest,
+verify the corpus is the corpus the manifest pins (speaker/utterance counts
++ an index fingerprint), run every pinned entry with the pinned seeds, and
+emit machine-readable JSON with confidence intervals and the acceptance
+rule applied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+from typing import Dict, List, Optional
+
+MANIFEST_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "EVAL_PROTOCOL.json",
+)
+
+
+def load_manifest(path: Optional[str] = None) -> Dict:
+    with open(path or MANIFEST_PATH) as f:
+        return json.load(f)
+
+
+def corpus_fingerprint(ds) -> str:
+    """sha256 over the sorted '<relpath>|<speaker_id>|<seconds:.3f>' lines.
+
+    Identifies the exact file set + durations without hashing audio bytes
+    (probe-only — runs off the cached index).
+    """
+    lines = sorted(
+        f"{row.filepath}|{row.speaker_id}|{row.seconds:.3f}"
+        for row in ds.df.itertuples()
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def check_corpus(ds, subset: str, manifest: Dict) -> List[str]:
+    """Mismatches between this dataset and the manifest's pinned identity
+    for ``subset`` (empty = verified; fingerprint null = recorded-on-trust)."""
+    ident = manifest["corpus_identity"].get(subset)
+    if ident is None:
+        return [f"subset {subset} not pinned in the manifest"]
+    problems = []
+    n_spk = int(ds.df.speaker_id.nunique())
+    n_utt = int(len(ds.df))
+    if n_spk != ident["n_speakers"]:
+        problems.append(
+            f"{subset}: {n_spk} speakers, manifest pins {ident['n_speakers']}"
+        )
+    if n_utt != ident["n_utterances"]:
+        problems.append(
+            f"{subset}: {n_utt} utterances, manifest pins {ident['n_utterances']}"
+        )
+    if ident.get("fingerprint"):
+        fp = corpus_fingerprint(ds)
+        if fp != ident["fingerprint"]:
+            problems.append(f"{subset}: index fingerprint {fp[:16]}… != pinned")
+    return problems
+
+
+def run_protocol(
+    model,
+    state,
+    data_root: str,
+    cfg_base,
+    manifest: Optional[Dict] = None,
+    allow_corpus_mismatch: bool = False,
+    max_store_seconds: Optional[float] = None,
+    fast: bool = False,
+) -> List[Dict]:
+    """Run every manifest entry; returns one result dict per entry.
+
+    ``cfg_base``: an ExperimentConfig whose encoder/mode match the model —
+    fragment settings are OVERRIDDEN from the manifest (the protocol owns
+    them). Raises on corpus-identity mismatch unless
+    ``allow_corpus_mismatch`` (for synthetic smoke runs, which mark their
+    results non-comparable).
+    """
+    import dataclasses
+
+    import jax
+
+    from ..data.dataset import dataset_from_config
+    from ..train import steps as steps_mod
+    from . import nshot
+
+    manifest = manifest or load_manifest()
+    frag = manifest["fragment"]
+    results = []
+    for entry in manifest["entries"]:
+        data_cfg = dataclasses.replace(
+            cfg_base.data,
+            data_root=data_root,
+            subsets=tuple(entry["subsets"]),
+            seconds=frag["seconds"],
+            sample_rate=frag["sample_rate"],
+            downsampling=frag["downsampling"],
+            stochastic=frag["stochastic"],
+            pad=frag["pad"],
+            whiten_rms=frag["whiten_rms"],
+        )
+        cfg = cfg_base.replace(data=data_cfg)
+        ds = dataset_from_config(cfg.data)
+        problems = []
+        for subset in entry["subsets"]:
+            problems += check_corpus(ds, subset, manifest)
+        if problems and not allow_corpus_mismatch:
+            raise ValueError(
+                "corpus does not match EVAL_PROTOCOL.json: "
+                + "; ".join(problems)
+            )
+        store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
+        acc = nshot.evaluate(
+            model, state, store, cfg,
+            jax.random.PRNGKey(int(manifest["task_seed"])),
+            num_tasks=entry["num_tasks"], n=entry["n_shot"],
+            k=entry["k_way"], fast=fast,
+        )
+        stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / entry["num_tasks"])
+        z = float(manifest["acceptance"]["z"])
+        results.append({
+            "entry": entry["name"],
+            "accuracy": round(float(acc), 4),
+            "stderr": round(stderr, 4),
+            "ci95": [round(float(acc) - z * stderr, 4),
+                     round(float(acc) + z * stderr, 4)],
+            "num_tasks": entry["num_tasks"],
+            "n_shot": entry["n_shot"],
+            "k_way": entry["k_way"],
+            "subsets": entry["subsets"],
+            "task_seed": manifest["task_seed"],
+            "corpus_fingerprint": corpus_fingerprint(ds),
+            "corpus_verified": not problems,
+            "corpus_problems": problems,
+            "comparable_to_reference": not problems,
+        })
+    return results
