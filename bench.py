@@ -187,12 +187,21 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = preprocess.preprocess_batch(store, offsets, FRAG, DOWNSAMPLING)
             return model.apply(variables, x, train=False)
 
-    # Batch-1 device time is tens of µs — use many amortized iterations so
-    # the slope clears the tunnel-RTT jitter, and report the steady-state
-    # per-call time (single-shot "p50" on this platform measures the RTT).
-    lat = profiling.time_fn(embed_one, one_store, one_off, iters=400)
-    p50_ms = lat["mean_s"] * 1e3
-    return {"utt_per_sec": utt_per_sec, "p50_embed_ms": p50_ms,
+    # Two distinct batch-1 numbers (round-2 verdict: a slope mean is NOT a
+    # latency — name both accurately):
+    # (a) steady-state amortized device time per call — 400-iteration slope,
+    #     min over 5 passes (pinned so run-to-run spread stays within the
+    #     RTT-jitter floor), = reciprocal throughput at batch 1;
+    # (b) TRUE single-request latency — dispatch → result in host memory,
+    #     including the transport round-trip (tunnel-RTT-bound on axon).
+    lat = profiling.time_fn(embed_one, one_store, one_off, iters=400, passes=5)
+    single = profiling.single_request_latency(
+        embed_one, one_store, one_off, samples=20
+    )
+    return {"utt_per_sec": utt_per_sec,
+            "steady_state_embed_ms": lat["mean_s"] * 1e3,
+            "single_request_p50_ms": single["p50_s"] * 1e3,
+            "single_request_p95_ms": single["p95_s"] * 1e3,
             "batch": batch_size, "backend": jax.default_backend()}
 
 
@@ -260,8 +269,14 @@ def main():
         "unit": "utterances/sec (3s @ 16kHz, embed pipeline)",
         "vs_baseline": round(r["utt_per_sec"] / baseline, 2),
     }))
-    print(f"# p50 embed latency: {r['p50_embed_ms']:.3f} ms | backend: {r['backend']}",
-          file=sys.stderr)
+    print(
+        f"# batch-1 embed: steady-state {r['steady_state_embed_ms']:.3f} ms/call "
+        f"(400-iter slope, min of 5 passes; = reciprocal throughput, NOT a "
+        f"request latency) | single-request p50 {r['single_request_p50_ms']:.2f} ms / "
+        f"p95 {r['single_request_p95_ms']:.2f} ms (dispatch→result incl. "
+        f"transport RTT) | backend: {r['backend']}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

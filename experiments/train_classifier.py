@@ -21,7 +21,10 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-root", default=C.DATA_PATH)
     p.add_argument("--subsets", nargs="+", default=["dev-clean"])
-    p.add_argument("--val-subsets", nargs="+", default=None)
+    p.add_argument("--val-subsets", nargs="+", default=["test-clean"],
+                   help="held-out eval subsets (reference protocol gates on a "
+                        "held-out subset, stochastic=False); pass 'none' to "
+                        "gate on the training store (warns)")
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--downsampling", type=int, default=4)
     p.add_argument("--label", default="speaker", choices=["speaker", "sex"])
@@ -63,7 +66,10 @@ def parse_args():
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--profile", default=None,
                    help="trace N eval-interval steps to this TensorBoard logdir")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.val_subsets and [s.lower() for s in args.val_subsets] == ["none"]:
+        args.val_subsets = None
+    return args
 
 
 def main():

@@ -32,3 +32,11 @@ def test_step_timer():
     s = t.stats()
     assert len(t.samples) == 3
     assert s["steps_per_sec"] > 0
+
+
+def test_single_request_latency():
+    f = lambda x: (x * 2).sum()
+    stats = profiling.single_request_latency(f, jnp.ones((8, 8)), samples=5)
+    assert stats["min_s"] > 0
+    assert stats["p50_s"] >= stats["min_s"]
+    assert stats["p95_s"] >= stats["p50_s"]

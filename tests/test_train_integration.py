@@ -317,3 +317,49 @@ def test_fused_block0_train_step_matches_flax(store_and_root, mode):
         state_p.params["encoder"]["block_0"]["conv"]["kernel"],
         **tol,
     )
+
+
+def test_fit_warns_on_training_store_eval(store_and_root):
+    """No val_subsets ⇒ fit must warn loudly (reference protocol is held-out)."""
+    from voicemap_tpu.train.loop import fit
+
+    _, _, root = store_and_root
+    cfg = small_cfg(root, "classifier", num_steps=2, evaluate_every=2,
+                    num_eval_tasks=10, k_way=2)
+    with pytest.warns(UserWarning, match="TRAINING store"):
+        fit(cfg, verbose=False)
+
+
+def test_fit_refuses_training_store_eval_when_strict(store_and_root):
+    from voicemap_tpu.train.loop import fit
+
+    _, _, root = store_and_root
+    cfg = small_cfg(root, "classifier", num_steps=2, evaluate_every=2,
+                    num_eval_tasks=10, k_way=2, require_holdout_eval=True)
+    with pytest.raises(ValueError, match="val_subsets"):
+        fit(cfg, verbose=False)
+
+
+def test_fit_holdout_eval_uses_val_subsets(tmp_path):
+    """With val_subsets set, fit gates on the held-out store (no warning)."""
+    import warnings
+
+    from voicemap_tpu.data import synthetic
+    from voicemap_tpu.train.loop import fit
+
+    root = str(tmp_path / "corpus2")
+    spec = synthetic.SyntheticSpec(
+        n_speakers=6, utterances_per_speaker=4, min_seconds=1.2,
+        max_seconds=2.0, seed=3,
+    )
+    synthetic.generate_corpus(root, subsets=("dev-clean", "test-clean"),
+                              spec=spec)
+    cfg = small_cfg(root, "classifier", num_steps=2, evaluate_every=2,
+                    num_eval_tasks=10, k_way=2)
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, val_subsets=("test-clean",)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        _, history = fit(cfg, verbose=False)
+    assert len(history) == 1
+    assert "val_1-shot_acc" in history[0]

@@ -146,6 +146,12 @@ class TrainConfig:
     # None = auto: on for the TPU backend when the topology is eligible
     # (block-0 dilation 1, waveform input), off elsewhere.
     use_fused_block0: Optional[bool] = None
+    # Refuse (instead of warn) when n-shot eval would gate the best
+    # checkpoint / plateau LR on the TRAINING store because no val_subsets
+    # are configured. The reference's protocol is held-out dev-clean with
+    # stochastic=False; gating on the training store silently overstates
+    # accuracy.
+    require_holdout_eval: bool = False
     # Checkpointing (reference: ModelCheckpoint best-by-val_{n}-shot_acc).
     # Saves at every evaluation point; best-model selection is gated on the
     # validation n-shot accuracy, like the reference.
@@ -196,11 +202,18 @@ class ExperimentConfig:
 # ---------------------------------------------------------------------------
 
 def classifier_baseline(**overrides) -> ExperimentConfig:
-    """configs[0]: 1D-conv speaker classifier, dev-clean, 3 s @ 16 kHz, batch 32."""
+    """configs[0]: 1D-conv speaker classifier, dev-clean, 3 s @ 16 kHz, batch 32.
+
+    Validation is held-out (test-clean, stochastic=False) — the reference's
+    protocol gates best-checkpoint + plateau LR on a held-out subset's n-shot
+    accuracy (``experiments/train_siamese_net.py :: validation args``), never
+    on the training store.
+    """
     cfg = ExperimentConfig(
         name="classifier_baseline",
         mode="classifier",
-        data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=4),
+        data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=4,
+                        val_subsets=("test-clean",)),
         train=TrainConfig(batch_size=32),
     )
     return cfg.replace(**overrides)
@@ -224,7 +237,8 @@ def dilated_4khz(**overrides) -> ExperimentConfig:
     cfg = ExperimentConfig(
         name="dilated_4khz",
         mode="classifier",
-        data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=4),
+        data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=4,
+                        val_subsets=("test-clean",)),
         encoder=EncoderConfig(
             filters=128,
             filter_multipliers=(1, 1, 2, 2, 3, 3, 4, 4),
@@ -248,6 +262,7 @@ def melspec_2d(**overrides) -> ExperimentConfig:
         name="melspec_2d",
         mode="melspec2d",
         data=DataConfig(subsets=("dev-clean",), seconds=3.0, downsampling=1,
+                        val_subsets=("test-clean",),
                         whiten_rms=DEFAULT_WHITEN_RMS),
         mel=MelConfig(hop_length=128, win_length=384),
     )

@@ -104,19 +104,25 @@ def fit(
         )
         val_ds = dataset_from_config(val_cfg)
         val_store = steps_mod.device_store_for(cfg, val_ds.to_store(max_store_seconds))
-    elif store is not None:
-        if verbose:
-            print(
-                "note: no val_subsets configured — n-shot eval (best-model "
-                "gating + LR plateau) runs on the TRAINING store; set "
-                "DataConfig.val_subsets for the reference's held-out protocol"
-            )
-        val_store = store
     else:
-        # Streaming without a val split: evaluate on a bounded sub-store.
-        val_store = steps_mod.device_store_for(
-            cfg, train_ds.to_store(min(max_store_seconds or 30.0, 10.0))
+        msg = (
+            "no val_subsets configured — n-shot eval (best-model gating + "
+            "LR plateau) runs on the TRAINING store, which overstates "
+            "accuracy; set DataConfig.val_subsets for the reference's "
+            "held-out protocol (dev-clean, stochastic=False)"
         )
+        if t.require_holdout_eval:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
+        if store is not None:
+            val_store = store
+        else:
+            # Streaming without a val split: evaluate on a bounded sub-store.
+            val_store = steps_mod.device_store_for(
+                cfg, train_ds.to_store(min(max_store_seconds or 30.0, 10.0))
+            )
 
     model = build_model(cfg, num_classes=train_ds.num_classes())
     state = init_model_state(model, cfg)

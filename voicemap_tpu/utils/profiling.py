@@ -57,22 +57,24 @@ def time_fn(
     *args,
     iters: int = 30,
     warmup: int = 5,
+    passes: int = 3,
     **kw,
 ) -> Dict[str, float]:
     """Steady-state seconds/call of a (jitted) fn.
 
     Slope method: (T(iters) − T(1)) / (iters − 1) cancels the fetch
-    round-trip. The per-sample percentiles use repeated single-shot
-    fetch-synced calls minus the measured fetch baseline (floored at the
-    slope mean), so p50/p95 remain meaningful for latency reporting.
+    round-trip; min over ``passes`` repetitions of each endpoint. The
+    per-sample percentiles use repeated single-shot fetch-synced calls minus
+    the measured fetch baseline (floored at the slope mean), so p50/p95
+    remain meaningful for latency reporting.
     """
     out = fn(*args, **kw)
     device_fetch_sync(out)
     for _ in range(warmup):
         out = fn(*args, **kw)
     device_fetch_sync(out)
-    t1 = min(_timed_pass(fn, args, kw, 1) for _ in range(3))
-    tn = min(_timed_pass(fn, args, kw, max(iters, 2)) for _ in range(3))
+    t1 = min(_timed_pass(fn, args, kw, 1) for _ in range(passes))
+    tn = min(_timed_pass(fn, args, kw, max(iters, 2)) for _ in range(passes))
     mean = max((tn - t1) / (max(iters, 2) - 1), 1e-9)
     # Latency samples: single-shot incl. the synchronization fetch; report
     # percentiles of max(sample − fetch_overhead, mean).
@@ -89,6 +91,37 @@ def time_fn(
         "p50_s": statistics.median(samples),
         "p95_s": samples[min(len(samples) - 1, int(0.95 * len(samples)))],
         "min_s": samples[0],
+    }
+
+
+def single_request_latency(
+    fn: Callable, *args, samples: int = 20, warmup: int = 3, **kw
+) -> Dict[str, float]:
+    """TRUE single-request latency: dispatch → result-in-host-memory.
+
+    Each sample times one call INCLUDING the D2H value fetch — what a real
+    client waits for one request. On the axon remote platform this is
+    dominated by the ~25–40 ms tunnel round-trip; report it alongside (not
+    instead of) the amortized steady-state slope, which measures device
+    occupancy per call under pipelined dispatch.
+    """
+    out = fn(*args, **kw)
+    device_fetch_sync(out)
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+        device_fetch_sync(out)
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        device_fetch_sync(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return {
+        "p50_s": statistics.median(ts),
+        "p95_s": ts[min(len(ts) - 1, int(0.95 * len(ts)))],
+        "min_s": ts[0],
+        "mean_s": sum(ts) / len(ts),
     }
 
 
