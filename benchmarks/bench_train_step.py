@@ -45,12 +45,13 @@ def _dataset():
                           data_root=ROOT, seed=0)
 
 
-def _build(ds, batch, fused, dropout=0.05):
+def _build(ds, batch, fused, dropout=0.05, blockn=None):
     cfg = ExperimentConfig(
         mode="classifier",
         data=DataConfig(data_root=ROOT, seconds=3.0, downsampling=4),
         encoder=EncoderConfig(dropout=dropout),
-        train=TrainConfig(batch_size=batch, use_fused_block0=fused),
+        train=TrainConfig(batch_size=batch, use_fused_block0=fused,
+                          use_fused_blockn=blockn),
     )
     store = steps_mod.device_store_for(cfg, ds.to_store())
     model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
@@ -74,13 +75,16 @@ def sweep(batches=(32, 256, 1024, 2048)):
     ds = _dataset()
     for B in batches:
         res = {}
-        for fused in (False, True):
-            _, store, _, state, step = _build(ds, B, fused)
-            res[fused] = _time_step(step, state, store, B,
-                                    iters=30 if B <= 256 else 10)
-            print(f"B={B} fused={fused}: {res[fused]*1e3:.3f} ms/step = "
-                  f"{B/res[fused]:.0f} utt/s", flush=True)
-        print(f"B={B} speedup: {res[False]/res[True]:.2f}x", flush=True)
+        variants = [("flax", False, False), ("fused_b0", True, False),
+                    ("fused_all", True, True)]
+        for name, fused, blkn in variants:
+            _, store, _, state, step = _build(ds, B, fused, blockn=blkn)
+            res[name] = _time_step(step, state, store, B,
+                                   iters=30 if B <= 256 else 10)
+            print(f"B={B} {name}: {res[name]*1e3:.3f} ms/step = "
+                  f"{B/res[name]:.0f} utt/s", flush=True)
+        print(f"B={B} speedup vs flax: b0 {res['flax']/res['fused_b0']:.2f}x, "
+              f"all {res['flax']/res['fused_all']:.2f}x", flush=True)
 
 
 def ablate(B=2048):
@@ -114,12 +118,68 @@ def ablate(B=2048):
           flush=True)
 
 
+def ablate_blocks(B=2048, blockn="jnp"):
+    """In-context attribution: fwd+bwd time of every encoder PREFIX.
+
+    Builds truncated encoders (blocks 0..i−1 + global-max + Dense head +
+    softmax-CE) and times grad() of each; successive differences attribute
+    each block's cost *in context* (residual traffic, layout transitions) —
+    the round-2 gap was ~105 ms between standalone block times and the full
+    step (BASELINE.md round-2 ablation; VERDICT r2 next #2).
+    """
+    import dataclasses
+
+    from voicemap_tpu.models import fused_train
+    from voicemap_tpu.train import losses
+
+    ds = _dataset()
+    cfg, _, _, _, _ = _build(ds, B, True, dropout=0.0)
+    full_enc = cfg.encoder
+    x = jnp.zeros((B, cfg.data.model_length, 1), jnp.float32)
+    y = jnp.zeros((B,), jnp.int32)
+
+    prev = 0.0
+    for nb in range(1, len(full_enc.filter_multipliers) + 1):
+        enc = dataclasses.replace(
+            full_enc,
+            filter_multipliers=full_enc.filter_multipliers[:nb],
+            kernel_sizes=full_enc.kernel_sizes[:nb],
+            pool_sizes=full_enc.pool_sizes[:nb],
+            dilations=full_enc.dilations[:nb],
+            dropout=0.0,
+        )
+        model = SpeakerClassifier(enc, num_classes=ds.num_speakers)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, cfg.data.model_length, 1)), train=False)
+
+        @jax.jit
+        def fb(params, bs, x, y):
+            def loss(p):
+                logits, _ = fused_train.classifier_train_forward(
+                    p, bs, enc, x, None, impl="pallas", blockn=blockn)
+                return losses.softmax_ce(logits, y)
+            return jax.grad(loss)(params)
+
+        t = throughput(fb, v["params"], v["batch_stats"], x, y,
+                       items_per_call=1, iters=10)["sec_per_call"]
+        print(f"[{blockn}] prefix blocks 0..{nb-1}: {t*1e3:7.2f} ms "
+              f"(marginal block {nb-1}: {(t-prev)*1e3:+7.2f} ms)", flush=True)
+        prev = t
+
+
 if __name__ == "__main__":
     part = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     print("backend:", jax.default_backend(), flush=True)
     if part == "sweep":
-        sweep()
+        bs = (tuple(int(b) for b in sys.argv[2].split(","))
+              if len(sys.argv) > 2 else (32, 256, 1024, 2048))
+        sweep(bs)
     elif part == "ablate":
         ablate()
+    elif part == "blocks":
+        ablate_blocks(
+            B=(int(sys.argv[3]) if len(sys.argv) > 3 else 2048),
+            blockn=(sys.argv[2] if len(sys.argv) > 2 else "jnp"),
+        )
     else:
         raise SystemExit(f"unknown part {part}")

@@ -205,3 +205,111 @@ def test_mu_var_outputs_differentiable():
     np.testing.assert_allclose(
         gf["conv"]["bias"], gr["conv"]["bias"], rtol=1e-4, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-network blocks-1+ op (make_fused_blockn_train): value + grad parity
+# INCLUDING the input gradient, which block 0 zeroes by design.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("save_act", [True, False])
+@pytest.mark.parametrize("pool,dilation", [(2, 1), (2, 4), (1, 2)])
+def test_blockn_value_and_grad_parity(pool, dilation, save_act):
+    from voicemap_tpu.ops.conv_train import make_fused_blockn_train
+
+    Cin, Cout, k, Bn, Tn = 6, 16, 3, 4, 64
+    blk = ConvBlock(
+        features=Cout, kernel_size=k, pool_size=pool, dropout=0.0,
+        dilation=dilation, compute_dtype=jnp.float32,
+        param_dtype=jnp.float32, bn_momentum=0.99, bn_epsilon=EPS,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (Bn, Tn, Cin), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    params["bn"]["scale"] = params["bn"]["scale"].at[::3].set(-1.3)
+
+    fn = make_fused_blockn_train(pool, EPS, dilation=dilation,
+                                 gemm_dtype="float32", sel_dtype="float32",
+                                 save_act=save_act)
+    gw = jax.random.normal(jax.random.PRNGKey(6), (Bn, Tn // pool, Cout))
+
+    def loss_ref(p, x):
+        out, _ = blk.apply(
+            {"params": p, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out * gw)
+
+    def loss_fused(p, x):
+        out, mu, var = fn(x, p["conv"]["kernel"], p["conv"]["bias"],
+                          p["bn"]["scale"], p["bn"]["bias"])
+        return jnp.sum(out * gw)
+
+    (lr, gr_p), gr_x = (jax.value_and_grad(loss_ref)(params, x),
+                        jax.grad(loss_ref, argnums=1)(params, x))
+    (lf, gf_p), gf_x = (jax.value_and_grad(loss_fused)(params, x),
+                        jax.grad(loss_fused, argnums=1)(params, x))
+    np.testing.assert_allclose(lf, lr, rtol=1e-5)
+    for path in [("conv", "kernel"), ("conv", "bias"),
+                 ("bn", "scale"), ("bn", "bias")]:
+        np.testing.assert_allclose(
+            gf_p[path[0]][path[1]], gr_p[path[0]][path[1]],
+            rtol=1e-4, atol=1e-4, err_msg=f"grad mismatch at {'/'.join(path)}",
+        )
+    np.testing.assert_allclose(gf_x, gr_x, rtol=1e-4, atol=1e-4,
+                               err_msg="input grad mismatch")
+
+
+def test_blockn_stats_outputs():
+    from voicemap_tpu.ops.conv_train import make_fused_blockn_train
+
+    Cin, Cout, k, Bn, Tn = 4, 8, 3, 2, 32
+    blk = ConvBlock(features=Cout, kernel_size=k, pool_size=2, dropout=0.0,
+                    compute_dtype=jnp.float32, param_dtype=jnp.float32,
+                    bn_epsilon=EPS)
+    x = jax.random.normal(jax.random.PRNGKey(7), (Bn, Tn, Cin), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    _, mut = blk.apply({"params": params, "batch_stats": bs}, x, train=True,
+                       mutable=["batch_stats"])
+    fn = make_fused_blockn_train(2, EPS, gemm_dtype="float32",
+                                 sel_dtype="float32")
+    _, mu, var = fn(x, params["conv"]["kernel"], params["conv"]["bias"],
+                    params["bn"]["scale"], params["bn"]["bias"])
+    np.testing.assert_allclose(0.99 * bs["bn"]["mean"] + 0.01 * mu,
+                               mut["batch_stats"]["bn"]["mean"],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(0.99 * bs["bn"]["var"] + 0.01 * var,
+                               mut["batch_stats"]["bn"]["var"],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_encoder_train_forward_blockn_fused_matches_jnp():
+    """Whole-encoder forward+grads: blockn='fused' == blockn='jnp' at f32."""
+    import dataclasses
+
+    from voicemap_tpu.config import EncoderConfig
+    from voicemap_tpu.models import fused_train
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+
+    enc = EncoderConfig(filters=4, embedding_dim=8, dropout=0.0,
+                        compute_dtype="float32")
+    model = SpeakerClassifier(enc, num_classes=5)
+    T = 256
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, T, 1), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def loss(p, blockn):
+        logits, _ = fused_train.classifier_train_forward(
+            p, bs, enc, x, None, impl="xla", blockn=blockn)
+        import optax
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, "jnp"))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, "fused"))(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

@@ -146,6 +146,10 @@ class TrainConfig:
     # None = auto: on for the TPU backend when the topology is eligible
     # (block-0 dilation 1, waveform input), off elsewhere.
     use_fused_block0: Optional[bool] = None
+    # Blocks 1+ through the custom-VJP affine-folded train op
+    # (ops/conv_train.py::make_fused_blockn_train): pool-rate residuals,
+    # conv recomputed in backward. None = auto (same gate as block 0).
+    use_fused_blockn: Optional[bool] = None
     # Refuse (instead of warn) when n-shot eval would gate the best
     # checkpoint / plateau LR on the TRAINING store because no val_subsets
     # are configured. The reference's protocol is held-out dev-clean with

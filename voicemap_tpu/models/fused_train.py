@@ -41,17 +41,31 @@ def fused_block0_train_eligible(cfg: EncoderConfig, x: jnp.ndarray) -> bool:
 
 def _jnp_block_train(x, blk, bst, *, pool, dilation, eps, momentum, dropout,
                      drop_key, cdt):
-    """flax ConvBlock train-mode semantics, functional (same XLA ops)."""
+    """flax ConvBlock train-mode semantics, functional.
+
+    Same math as flax's conv→relu→BN(train)→drop→pool but HBM-lean: the
+    full-rate activation stays in the compute dtype (bf16 on TPU) end to
+    end — BN statistics accumulate in f32 *inside* the reduction (XLA fuses
+    the convert into the reduce loop, nothing f32 is materialized), and the
+    normalization is folded to a per-channel affine ``a·mul + add`` applied
+    in the compute dtype. Versus the round-2 version (which upcast the
+    (B, T, C) activation to f32 before BN), this halves every full-rate
+    HBM touch in forward AND in the autodiff residuals. f32 compute_dtype
+    degenerates to the same math exactly (modulo affine re-association,
+    ≪ the 1e-4 parity tolerance)."""
     w = blk["conv"]["kernel"].astype(cdt)
     z = jax.lax.conv_general_dilated(
         x.astype(cdt), w, (1,), "SAME", rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     ) + blk["conv"]["bias"].astype(cdt)
-    a = jax.nn.relu(z).astype(jnp.float32)
-    mu = jnp.mean(a, axis=(0, 1))
-    var = jnp.maximum(jnp.mean(a * a, axis=(0, 1)) - mu * mu, 0.0)
+    a = jax.nn.relu(z)
+    af = a.astype(jnp.float32)  # fuses into the reductions below
+    mu = jnp.mean(af, axis=(0, 1))
+    var = jnp.maximum(jnp.mean(af * af, axis=(0, 1)) - mu * mu, 0.0)
     r = jax.lax.rsqrt(var + eps)
-    y = ((a - mu) * (blk["bn"]["scale"] * r) + blk["bn"]["bias"]).astype(cdt)
+    mul = blk["bn"]["scale"] * r
+    add = blk["bn"]["bias"] - mu * mul
+    y = a * mul.astype(cdt) + add.astype(cdt)
     if dropout > 0.0:
         keep = 1.0 - dropout
         mask = jax.random.bernoulli(drop_key, keep, (y.shape[0], 1, y.shape[2]))
@@ -67,6 +81,41 @@ def _jnp_block_train(x, blk, bst, *, pool, dilation, eps, momentum, dropout,
     return y, new_bn
 
 
+def _fused_block_train(x, blk, bst, *, pool, dilation, eps, momentum,
+                       dropout, drop_key, cdt, save_act=True):
+    """Blocks-1+ train step through the custom-VJP affine-folded op.
+
+    Same semantics as ``_jnp_block_train`` with dropout commuted to pool
+    rate (channel-broadcast masks are per-channel monotone scalings, so
+    they preserve the pool's argmax — the block-0 path's argument)."""
+    from ..ops.conv_train import make_fused_blockn_train
+
+    f32 = cdt == jnp.float32
+    fn = make_fused_blockn_train(
+        pool, eps, dilation=dilation,
+        gemm_dtype="float32" if f32 else "bfloat16",
+        sel_dtype="float32" if f32 else "bfloat16",
+        save_act=save_act,
+    )
+    T = x.shape[1]
+    if pool > 1 and T % pool:
+        x = x[:, : (T // pool) * pool]
+    y, mu, var = fn(
+        x, blk["conv"]["kernel"], blk["conv"]["bias"],
+        blk["bn"]["scale"], blk["bn"]["bias"],
+    )
+    y = y.astype(cdt)
+    if dropout > 0.0:
+        keep = 1.0 - dropout
+        mask = jax.random.bernoulli(drop_key, keep, (y.shape[0], 1, y.shape[2]))
+        y = jnp.where(mask, y / keep, 0.0).astype(cdt)
+    new_bn = {
+        "mean": momentum * bst["mean"] + (1.0 - momentum) * mu,
+        "var": momentum * bst["var"] + (1.0 - momentum) * var,
+    }
+    return y, new_bn
+
+
 def encoder_train_forward(
     params: Dict,
     batch_stats: Dict,
@@ -75,8 +124,14 @@ def encoder_train_forward(
     dropout_key: Optional[jax.Array] = None,
     impl: str = "pallas",
     interpret: bool = False,
+    blockn: str = "jnp",
 ) -> Tuple[jnp.ndarray, Dict]:
-    """→ (embedding (B, D) float32, new_batch_stats pytree)."""
+    """→ (embedding (B, D) float32, new_batch_stats pytree).
+
+    ``blockn``: how blocks 1+ run — ``"jnp"`` = flax-semantics functional
+    blocks differentiated by autodiff; ``"fused"`` = the custom-VJP
+    affine-folded op (ops/conv_train.py::make_fused_blockn_train — pool-rate
+    residuals, conv recomputed in backward)."""
     cdt = _DTYPES[cfg.compute_dtype]
     if cfg.dropout > 0.0 and dropout_key is None:
         raise ValueError("dropout_key required when cfg.dropout > 0")
@@ -116,15 +171,26 @@ def encoder_train_forward(
         }}
         start = 1
     for i in range(start, len(cfg.filter_multipliers)):
-        h, new_bn = _jnp_block_train(
-            h, params[f"block_{i}"], batch_stats[f"block_{i}"]["bn"],
-            pool=cfg.pool_sizes[i], dilation=cfg.dilations[i],
-            eps=cfg.bn_epsilon, momentum=cfg.bn_momentum,
-            dropout=cfg.dropout,
-            drop_key=(jax.random.fold_in(dropout_key, i)
-                      if cfg.dropout > 0.0 else None),
-            cdt=cdt,
-        )
+        if blockn in ("fused", "fused_recompute"):
+            h, new_bn = _fused_block_train(
+                h, params[f"block_{i}"], batch_stats[f"block_{i}"]["bn"],
+                pool=cfg.pool_sizes[i], dilation=cfg.dilations[i],
+                eps=cfg.bn_epsilon, momentum=cfg.bn_momentum,
+                dropout=cfg.dropout,
+                drop_key=(jax.random.fold_in(dropout_key, i)
+                          if cfg.dropout > 0.0 else None),
+                cdt=cdt, save_act=(blockn == "fused"),
+            )
+        else:
+            h, new_bn = _jnp_block_train(
+                h, params[f"block_{i}"], batch_stats[f"block_{i}"]["bn"],
+                pool=cfg.pool_sizes[i], dilation=cfg.dilations[i],
+                eps=cfg.bn_epsilon, momentum=cfg.bn_momentum,
+                dropout=cfg.dropout,
+                drop_key=(jax.random.fold_in(dropout_key, i)
+                          if cfg.dropout > 0.0 else None),
+                cdt=cdt,
+            )
         new_stats[f"block_{i}"] = {"bn": new_bn}
     h = jnp.max(h, axis=1)
     emb = params["embed"]
@@ -140,11 +206,12 @@ def classifier_train_forward(
     dropout_key: Optional[jax.Array] = None,
     impl: str = "pallas",
     interpret: bool = False,
+    blockn: str = "jnp",
 ) -> Tuple[jnp.ndarray, Dict]:
     """SpeakerClassifier.apply(train=True) drop-in → (logits, new_batch_stats)."""
     emb, enc_stats = encoder_train_forward(
         params["encoder"], batch_stats["encoder"], cfg, x, dropout_key,
-        impl=impl, interpret=interpret,
+        impl=impl, interpret=interpret, blockn=blockn,
     )
     cdt = _DTYPES[cfg.compute_dtype]
     head = params["head"]
@@ -162,13 +229,14 @@ def siamese_train_forward(
     dropout_key: Optional[jax.Array] = None,
     impl: str = "pallas",
     interpret: bool = False,
+    blockn: str = "jnp",
 ) -> Tuple[jnp.ndarray, Dict]:
     """SiameseNet.apply(train=True) drop-in → ((B,) logits, new_batch_stats)."""
     B = x1.shape[0]
     stacked = jnp.concatenate([x1, x2], axis=0)
     emb, enc_stats = encoder_train_forward(
         params["encoder"], batch_stats["encoder"], cfg, stacked, dropout_key,
-        impl=impl, interpret=interpret,
+        impl=impl, interpret=interpret, blockn=blockn,
     )
     e1, e2 = emb[:B], emb[B:]
     feats = dist_ops.merge_features(e1, e2, siamese.distance_metric)
@@ -185,10 +253,11 @@ def siamese_embed_train_forward(
     dropout_key: Optional[jax.Array] = None,
     impl: str = "pallas",
     interpret: bool = False,
+    blockn: str = "jnp",
 ) -> Tuple[jnp.ndarray, Dict]:
     """SiameseNet.embed(train=True) drop-in (contrastive-loss path)."""
     emb, enc_stats = encoder_train_forward(
         params["encoder"], batch_stats["encoder"], cfg, x, dropout_key,
-        impl=impl, interpret=interpret,
+        impl=impl, interpret=interpret, blockn=blockn,
     )
     return emb, {"encoder": enc_stats}

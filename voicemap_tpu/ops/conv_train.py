@@ -124,6 +124,152 @@ def _xla_bwd_core(x, w, b, sgn, g, c0, c1, c2, pool, dtype):
 
 
 @functools.lru_cache(maxsize=None)
+def make_fused_blockn_train(
+    pool: int,
+    eps: float,
+    dilation: int = 1,
+    gemm_dtype: str = "bfloat16",
+    sel_dtype: str = "bfloat16",
+    save_act: bool = True,
+):
+    """Custom-VJP conv+relu+BN(train)+maxpool for MID-NETWORK blocks (Cin>1).
+
+    Same affine-folded BN-train reformulation as the block-0 op (module
+    docstring), built from plain XLA ops — the round-2 streamed-Pallas
+    experiment showed XLA's conv emitter is already fastest for blocks 1+,
+    so the win here is in the AUTODIFF structure: BN's train backward folds
+    to per-channel affine constants computable at POOL rate, and the pool
+    routing is recomputed from the activation, replacing XLA's mean/var
+    transpose chain + reduce_window max-gradient with one lean fused
+    elementwise pass. Produces dx for upstream blocks, unlike the
+    first-layer-only block-0 op.
+
+    ``save_act=True`` keeps the full-rate relu activation (gemm_dtype) as a
+    residual — same residual footprint as autodiff, backward = routing +
+    dW + dX (3 GEMMs total, like autodiff, minus its elementwise overhead).
+    ``save_act=False`` stores only the pool-rate ``a_sel`` and recomputes
+    the conv in backward (4 GEMMs, ~4× smaller residuals — for
+    memory-bound regimes).
+
+    Returns ``fn(x, w, b, gamma, beta) -> (pooled_y, mu, var)``; f32-exact
+    vs flax semantics at gemm_dtype=float32 (tests/test_conv_train.py).
+    """
+    dtype = jnp.dtype(gemm_dtype)
+    sdt = jnp.dtype(sel_dtype)
+
+    def conv_f32acc(x, w):
+        """Fast-path conv: dtype operands, f32 accumulation (MXU-native)."""
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), w.astype(dtype), (1,), "SAME",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    def conv_uni(x, w):
+        """Uniform-dtype conv used only for linear_transpose (JAX rejects
+        mixed-dtype conv transposes); TPU still accumulates f32 internally."""
+        return jax.lax.conv_general_dilated(
+            x, w, (1,), "SAME", rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+
+    def primal(x, w, b, gamma, beta):
+        B, T, _ = x.shape
+        c = w.shape[2]
+        N = B * T
+        sgn = jnp.where(gamma >= 0, 1.0, -1.0).astype(jnp.float32)
+        if save_act:
+            # Activation in gemm_dtype (= flax's conv output dtype); f32
+            # accumulation happens inside the stat reductions.
+            a = jax.nn.relu(conv_uni(x.astype(dtype), w.astype(dtype))
+                            + b.astype(dtype))
+            af = a.astype(jnp.float32)
+            sum_a = jnp.sum(af, axis=(0, 1))
+            sumsq_a = jnp.sum(af * af, axis=(0, 1))
+            sgn_d = sgn.astype(dtype)
+            ar = a.reshape(B, T // pool, pool, c)
+            a_sel = (sgn_d * jnp.max(sgn_d[None, None, None, :] * ar, axis=2)
+                     ).astype(sdt)
+        else:
+            a = jax.nn.relu(conv_f32acc(x, w) + b.astype(jnp.float32))
+            sum_a = jnp.sum(a, axis=(0, 1))
+            sumsq_a = jnp.sum(a * a, axis=(0, 1))
+            ar = a.reshape(B, T // pool, pool, c)
+            a_sel = (sgn * jnp.max(sgn[None, None, None, :] * ar, axis=2)
+                     ).astype(sdt)
+        mu = sum_a / N
+        var = jnp.maximum(sumsq_a / N - mu * mu, 0.0)
+        r = jax.lax.rsqrt(var + eps)
+        pooled = (a_sel.astype(jnp.float32) - mu) * (gamma * r) + beta
+        return pooled, mu, var, a, a_sel, sgn
+
+    @jax.custom_vjp
+    def fused(x, w, b, gamma, beta):
+        pooled, mu, var, _, _, _ = primal(x, w, b, gamma, beta)
+        return pooled, mu, var
+
+    def fwd(x, w, b, gamma, beta):
+        pooled, mu, var, a, a_sel, sgn = primal(x, w, b, gamma, beta)
+        a_res = a.astype(dtype) if save_act else None
+        return (pooled, mu, var), (x, w, b, gamma, sgn, a_res, a_sel, mu, var)
+
+    def bwd(res, cots):
+        g, g_mu, g_var = cots
+        x, w, b, gamma, sgn, a_res, a_sel, mu, var = res
+        B, T_out = g.shape[0], g.shape[1]
+        c = w.shape[2]
+        N = B * T_out * pool
+        r = jax.lax.rsqrt(var + eps)
+        m = gamma * r
+        ahat_sel = (a_sel.astype(jnp.float32) - mu) * r
+        S1 = jnp.sum(g, axis=(0, 1))
+        S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
+        dbeta = S1
+        dgamma = S2
+        c0 = m
+        c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
+        c2 = -m * r * S2 / N + 2.0 * g_var / N
+
+        # Activation for routing/gating: the saved residual, or a recompute
+        # from the SAME in-context inputs (self-consistent either way).
+        # Everything full-rate stays in the GEMM dtype: the elementwise
+        # routing/gating chain fuses into the single materialized dz (bf16
+        # halves the transient HBM footprint — an all-f32 version of this
+        # chain OOMs at B=2048), and the per-channel f32 constants ride
+        # inside the fused loop.
+        xb = x.astype(dtype)
+        wb = w.astype(dtype)
+        if save_act:
+            a = a_res
+        else:
+            a = jax.nn.relu(conv_uni(xb, wb) + b.astype(dtype))
+        ar = a.reshape(B, T_out, pool, c)
+        sgn_d = sgn.astype(dtype)
+        gb = g.astype(dtype)
+        best = jnp.max(sgn_d[None, None, None, :] * ar, axis=2)
+        taken = jnp.zeros(best.shape, bool)
+        routed = []
+        for j in range(pool):
+            eq = (sgn_d[None, None, :] * ar[:, :, j, :] == best) & ~taken
+            routed.append(jnp.where(eq, gb, 0.0))
+            taken = taken | eq
+        g_full = jnp.stack(routed, axis=2).reshape(B, T_out * pool, c)
+        da = (c0.astype(dtype) * g_full
+              + c1.astype(dtype)
+              + c2.astype(dtype) * a)
+        dz = jnp.where(a > 0, da, jnp.zeros((), dtype))
+        db = jnp.sum(dz, axis=(0, 1), dtype=jnp.float32)
+
+        (dw,) = jax.linear_transpose(lambda w_: conv_uni(xb, w_), wb)(dz)
+        (dx,) = jax.linear_transpose(lambda x_: conv_uni(x_, wb), xb)(dz)
+        return dx.astype(x.dtype), dw.astype(w.dtype), db, dgamma, dbeta
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
 def make_fused_block0_train(
     pool: int,
     eps: float,

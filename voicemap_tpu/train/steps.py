@@ -53,6 +53,22 @@ def _fused_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def resolve_blockn(cfg: ExperimentConfig) -> str:
+    """Blocks-1+ impl for the fused train forward: 'fused' or 'jnp'.
+
+    None = auto: the autodiff path everywhere — the custom-VJP affine-folded
+    op measured SLOWER on v5e (317 vs 303 ms @ B=2048: the backward's conv
+    recompute costs more than the pool-rate residuals save, the same verdict
+    as round 2's remat experiment; BASELINE.md round 3). The op stays as a
+    tested, selectable alternative for memory-bound regimes (its residuals
+    are ~4× smaller than autodiff's).
+    """
+    flag = cfg.train.use_fused_blockn
+    if flag is None:
+        return "jnp"
+    return "fused" if flag else "jnp"
+
+
 @flax.struct.dataclass
 class DeviceStore:
     """AudioStore shipped to device memory (or sharded across a mesh).
@@ -172,11 +188,13 @@ def classifier_loss_fn(model, cfg: Optional[ExperimentConfig] = None):
         from ..models import fused_train
 
         impl = _fused_impl()
+        blockn = resolve_blockn(cfg)
         enc_cfg = cfg.encoder
 
         def fused_loss_fn(params, batch_stats, x, y, dropout_key):
             out, new_bs = fused_train.classifier_train_forward(
-                params, batch_stats, enc_cfg, x, dropout_key, impl=impl
+                params, batch_stats, enc_cfg, x, dropout_key, impl=impl,
+                blockn=blockn,
             )
             loss = losses.softmax_ce(out, y)
             acc = losses.categorical_accuracy(out, y)
@@ -209,6 +227,7 @@ def siamese_loss_fn(model, cfg: ExperimentConfig):
         from ..models import fused_train
 
         impl = _fused_impl()
+        blockn = resolve_blockn(cfg)
         enc_cfg, sia_cfg = cfg.encoder, cfg.siamese
 
         def fused_loss_fn(params, batch_stats, x1, x2, y, dropout_key):
@@ -217,7 +236,7 @@ def siamese_loss_fn(model, cfg: ExperimentConfig):
                 stacked = jnp.concatenate([x1, x2], axis=0)
                 emb, new_bs = fused_train.siamese_embed_train_forward(
                     params, batch_stats, enc_cfg, stacked, dropout_key,
-                    impl=impl,
+                    impl=impl, blockn=blockn,
                 )
                 d = jnp.sqrt(
                     jnp.sum(jnp.square(emb[:Bsz] - emb[Bsz:]), axis=-1) + 1e-12
@@ -232,7 +251,7 @@ def siamese_loss_fn(model, cfg: ExperimentConfig):
             else:
                 logits, new_bs = fused_train.siamese_train_forward(
                     params, batch_stats, enc_cfg, sia_cfg, x1, x2,
-                    dropout_key, impl=impl,
+                    dropout_key, impl=impl, blockn=blockn,
                 )
                 loss = losses.bce_with_logits(logits, y)
                 acc = losses.binary_accuracy(logits, y)
