@@ -76,7 +76,7 @@ def sweep(batches=(32, 256, 1024, 2048)):
     for B in batches:
         res = {}
         variants = [("flax", False, False), ("fused_b0", True, False),
-                    ("fused_all", True, True)]
+                    ("fused_auto", True, None)]
         for name, fused, blkn in variants:
             _, store, _, state, step = _build(ds, B, fused, blockn=blkn)
             res[name] = _time_step(step, state, store, B,
@@ -84,7 +84,7 @@ def sweep(batches=(32, 256, 1024, 2048)):
             print(f"B={B} {name}: {res[name]*1e3:.3f} ms/step = "
                   f"{B/res[name]:.0f} utt/s", flush=True)
         print(f"B={B} speedup vs flax: b0 {res['flax']/res['fused_b0']:.2f}x, "
-              f"all {res['flax']/res['fused_all']:.2f}x", flush=True)
+              f"auto {res['flax']/res['fused_auto']:.2f}x", flush=True)
 
 
 def ablate(B=2048):

@@ -363,3 +363,25 @@ def test_fit_holdout_eval_uses_val_subsets(tmp_path):
         _, history = fit(cfg, verbose=False)
     assert len(history) == 1
     assert "val_1-shot_acc" in history[0]
+
+
+def test_resolve_blockn_policy():
+    """Auto: jnp off-TPU; explicit flag always wins; memory gate sizes from
+    the config (tested by constructing a config whose worst block activation
+    exceeds the save-act limit)."""
+    from voicemap_tpu.train.steps import _SAVE_ACT_LIMIT_BYTES, resolve_blockn
+
+    cfg = small_cfg("/tmp", "classifier")
+    assert resolve_blockn(cfg) == "jnp"  # CPU backend in tests
+    cfg_on = cfg.replace(train=dataclasses.replace(
+        cfg.train, use_fused_blockn=True))
+    assert resolve_blockn(cfg_on) == "fused"
+    cfg_off = cfg.replace(train=dataclasses.replace(
+        cfg.train, use_fused_blockn=False))
+    assert resolve_blockn(cfg_off) == "jnp"
+    # The worst-block estimate math: block 1 of the default encoder at
+    # batch B and model length T is B*(T/4)*filters*2*2 bytes.
+    e = cfg.encoder
+    T = cfg.data.model_length
+    worst = 16 * (T // 4) * e.filters * e.filter_multipliers[1] * 2
+    assert worst < _SAVE_ACT_LIMIT_BYTES

@@ -211,25 +211,19 @@ def make_fused_blockn_train(
 
     def fwd(x, w, b, gamma, beta):
         pooled, mu, var, a, a_sel, sgn = primal(x, w, b, gamma, beta)
+        # a_sel is NOT a residual: the backward re-derives it from the
+        # routing recompute — one pool-rate tensor less in HBM per block.
         a_res = a.astype(dtype) if save_act else None
-        return (pooled, mu, var), (x, w, b, gamma, sgn, a_res, a_sel, mu, var)
+        return (pooled, mu, var), (x, w, b, gamma, sgn, a_res, mu, var)
 
     def bwd(res, cots):
         g, g_mu, g_var = cots
-        x, w, b, gamma, sgn, a_res, a_sel, mu, var = res
+        x, w, b, gamma, sgn, a_res, mu, var = res
         B, T_out = g.shape[0], g.shape[1]
         c = w.shape[2]
         N = B * T_out * pool
         r = jax.lax.rsqrt(var + eps)
         m = gamma * r
-        ahat_sel = (a_sel.astype(jnp.float32) - mu) * r
-        S1 = jnp.sum(g, axis=(0, 1))
-        S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
-        dbeta = S1
-        dgamma = S2
-        c0 = m
-        c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
-        c2 = -m * r * S2 / N + 2.0 * g_var / N
 
         # Activation for routing/gating: the saved residual, or a recompute
         # from the SAME in-context inputs (self-consistent either way).
@@ -248,6 +242,17 @@ def make_fused_blockn_train(
         sgn_d = sgn.astype(dtype)
         gb = g.astype(dtype)
         best = jnp.max(sgn_d[None, None, None, :] * ar, axis=2)
+
+        # Pool-rate BN sums from the recomputed selection (a_sel = sgn·best).
+        ahat_sel = (sgn * best.astype(jnp.float32) - mu) * r
+        S1 = jnp.sum(g, axis=(0, 1))
+        S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
+        dbeta = S1
+        dgamma = S2
+        c0 = m
+        c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
+        c2 = -m * r * S2 / N + 2.0 * g_var / N
+
         taken = jnp.zeros(best.shape, bool)
         routed = []
         for j in range(pool):

@@ -53,20 +53,42 @@ def _fused_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+# Largest per-block full-rate activation (bytes) at which the save-act
+# fused blocks-1+ op still fits comfortably next to the rest of the train
+# program on a 16 GB v5e. Measured round 3: B=1024 (block-1 act 1.57 GB)
+# wins −12%; B=2048 (3.1 GB) OOMs at compile.
+_SAVE_ACT_LIMIT_BYTES = 1.8e9
+
+
 def resolve_blockn(cfg: ExperimentConfig) -> str:
     """Blocks-1+ impl for the fused train forward: 'fused' or 'jnp'.
 
-    None = auto: the autodiff path everywhere — the custom-VJP affine-folded
-    op measured SLOWER on v5e (317 vs 303 ms @ B=2048: the backward's conv
-    recompute costs more than the pool-rate residuals save, the same verdict
-    as round 2's remat experiment; BASELINE.md round 3). The op stays as a
-    tested, selectable alternative for memory-bound regimes (its residuals
-    are ~4× smaller than autodiff's).
+    None = auto (TPU only): the custom-VJP affine-folded op in its save-act
+    variant — measured −12% on the full step at B=1024 (it replaces XLA's
+    BN-transpose + reduce_window max-gradient backward with one fused
+    routing pass; BASELINE.md round 3) — but only while every block's
+    full-rate activation stays under ``_SAVE_ACT_LIMIT_BYTES``: beyond that
+    the residuals push the B=2048-class programs over HBM capacity (compile
+    OOM), and the recompute variant that WOULD fit measured slower than
+    autodiff (317 vs 303 ms — the extra conv GEMM costs more than the
+    residual traffic it saves, the same verdict as round 2's remat
+    experiment). So: fused when it fits, autodiff when it doesn't.
     """
     flag = cfg.train.use_fused_blockn
-    if flag is None:
+    if flag is not None:
+        return "fused" if flag else "jnp"
+    if jax.default_backend() != "tpu":
         return "jnp"
-    return "fused" if flag else "jnp"
+    e = cfg.encoder
+    B = cfg.train.batch_size * (2 if cfg.mode == "siamese" else 1)
+    t = cfg.data.model_length
+    worst = 0
+    for i, (mult, pool) in enumerate(zip(e.filter_multipliers, e.pool_sizes)):
+        if i >= 1:  # block 0 runs the Pallas op, VMEM-resident
+            worst = max(worst, B * t * e.filters * mult * 2)  # bf16 act
+        if pool > 1:
+            t //= pool
+    return "fused" if worst <= _SAVE_ACT_LIMIT_BYTES else "jnp"
 
 
 @flax.struct.dataclass
