@@ -11,6 +11,13 @@ voicemap/utils.py :: n_shot_task_evaluation's per-task predict loop).
 HBM traffic: O(nq·d + ns·d + nq·ns) instead of O(nq·ns·d).
 
 Set w = 1, b = 0 for the plain L1 distance matrix.
+
+**NOT ON ANY PRODUCTION PATH.** At production shapes the jnp broadcast wins
+(0.33 vs 1.6 ms, BASELINE.md round 2 — the VPU-only workload can't amortize
+the kernel's grid overhead at n-shot eval sizes), and n-shot evaluation
+routes through the matmul-form distances in ``ops/distance.py``. Kept as a
+measured negative result + a working example of a tiled two-operand Pallas
+grid; revisit only if an L1 score matrix ever exceeds HBM (nq·ns·d ≳ 1e10).
 """
 
 from __future__ import annotations
