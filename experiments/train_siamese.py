@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--synthetic-speakers", type=int, default=20)
     p.add_argument("--synthetic-utterances", type=int, default=10)
     p.add_argument("--synthetic-container", default="wav", choices=["wav", "flac"])
+    p.add_argument("--dp", default="auto", choices=["auto", "on", "off"],
+                   help="data-parallel training over all attached devices "
+                        "(auto = on for a multi-device TPU backend)")
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--profile", default=None)
     args = p.parse_args()
@@ -122,9 +125,11 @@ def main():
         import jax
 
         with jax.profiler.trace(args.profile):
-            state, history = fit(cfg, max_store_seconds=args.max_store_seconds)
+            state, history = fit(cfg, max_store_seconds=args.max_store_seconds,
+                                 dp=args.dp)
     else:
-        state, history = fit(cfg, max_store_seconds=args.max_store_seconds)
+        state, history = fit(cfg, max_store_seconds=args.max_store_seconds,
+                             dp=args.dp)
     if history:
         print("final:", history[-1])
 

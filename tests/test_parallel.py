@@ -623,3 +623,20 @@ def test_dp_classifier_fused_block0_matches_flax_step(mesh8, dp_store, corpus_ro
             losses.append(float(m["loss"]))
         runs[flag] = losses
     np.testing.assert_allclose(runs[True], runs[False], rtol=1e-4, atol=1e-4)
+
+
+def test_fit_dp_on_cpu_mesh(corpus_root):
+    """fit(dp='on') trains data-parallel over the faked 8-device mesh from
+    the real high-level entry point (CLI-reachable via --dp on)."""
+    from voicemap_tpu.train.loop import fit
+
+    cfg = _dp_cfg(corpus_root, "classifier").replace(
+        train=TrainConfig(batch_size=16, learning_rate=3e-3, num_steps=8,
+                          evaluate_every=4, num_eval_tasks=30, k_way=3),
+    )
+    with pytest.warns(UserWarning):  # training-store eval warning
+        state, history = fit(cfg, verbose=False, dp="on")
+    assert int(state.step) == 8
+    assert np.isfinite(history[-1]["loss"])
+    p = state.params["encoder"]["block_0"]["conv"]["kernel"]
+    assert p.sharding.is_fully_replicated

@@ -65,6 +65,7 @@ def fit(
     verbose: bool = True,
     pipeline: str = "auto",  # auto | device | streaming
     streaming_threshold_bytes: int = 4 << 30,
+    dp: str = "auto",  # auto | on | off
 ) -> Tuple[TrainState, List[Dict[str, Any]]]:
     """Run one experiment end-to-end. Returns (final state, history).
 
@@ -72,6 +73,12 @@ def fit(
     sample→gather→preprocess→update steps); ``'streaming'`` uses the
     prefetched host pipeline (data/pipeline.py) for corpora too large for
     HBM; ``'auto'`` picks by estimated store size.
+
+    ``dp``: data-parallel training over every attached device
+    (parallel/data_parallel.py — shard_map, psum grads, cross-replica BN;
+    the global batch is ``cfg.train.batch_size``). ``'auto'`` turns it on
+    for a multi-device TPU backend with the device pipeline; ``'on'``
+    forces it (e.g. on the faked CPU mesh); ``'off'`` stays single-device.
     """
     t = cfg.train
     train_ds = dataset_from_config(cfg.data)
@@ -126,7 +133,33 @@ def fit(
 
     model = build_model(cfg, num_classes=train_ds.num_classes())
     state = init_model_state(model, cfg)
-    if pipeline == "device":
+    n_dev = jax.device_count()
+    use_dp = pipeline == "device" and n_dev > 1 and (
+        dp == "on" or (dp == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_dp and t.batch_size % n_dev:
+        if dp == "on":
+            raise ValueError(
+                f"dp='on' but batch_size {t.batch_size} does not divide the "
+                f"{n_dev} devices"
+            )
+        use_dp = False
+    if use_dp:
+        from ..parallel import data_parallel, mesh as mesh_mod
+
+        mesh = mesh_mod.data_mesh(n_dev)
+        if verbose:
+            print(f"data-parallel over {n_dev} devices "
+                  f"(local batch {t.batch_size // n_dev})")
+        if cfg.mode == "siamese":
+            step, _tx = data_parallel.make_dp_siamese_train_step(
+                model, cfg, mesh
+            )
+        else:
+            step, _tx = data_parallel.make_dp_classifier_train_step(
+                model, cfg, mesh
+            )
+    elif pipeline == "device":
         step, _tx = make_step(model, cfg)
     elif cfg.mode == "siamese":
         step, _tx = steps_mod.make_streaming_siamese_step(model, cfg)
