@@ -1,0 +1,145 @@
+"""Batch-embed audio files to a .npz of speaker embeddings (serving entry).
+
+The inference-side counterpart of the training CLIs: point it at audio files
+(or a whole indexed subset) and it writes ``embeddings`` (N, D) float32 +
+``paths`` to an .npz, running the full production on-device pipeline —
+gather → stride-decimate → whiten → conv encoder (the fused Pallas path on
+TPU). The reference had no such tool (embeddings were pulled ad hoc inside
+``voicemap/utils.py :: n_shot_task_evaluation`` and the analysis notebooks);
+this makes the embedding function a first-class product surface.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from voicemap_tpu import config as C
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("files", nargs="*",
+                   help="audio files (.wav/.flac); or use --subsets")
+    p.add_argument("--data-root", default=C.DATA_PATH)
+    p.add_argument("--subsets", nargs="+", default=None,
+                   help="embed every utterance of these indexed subsets "
+                        "instead of explicit files")
+    p.add_argument("--mode", default="classifier",
+                   choices=["classifier", "siamese", "melspec2d"])
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--which", default="best", choices=["best", "latest"])
+    p.add_argument("--seconds", type=float, default=3.0)
+    p.add_argument("--downsampling", type=int, default=4)
+    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--embedding-dim", type=int, default=64)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--out", default="embeddings.npz")
+    p.add_argument("--max-store-seconds", type=float, default=30.0)
+    return p.parse_args()
+
+
+def _store_from_files(paths, cfg):
+    """Build an in-memory AudioStore from explicit audio files."""
+    import numpy as np
+
+    from voicemap_tpu.data import audio
+    from voicemap_tpu.data.dataset import AudioStore
+
+    frag = cfg.data.fragment_length
+    waves = []
+    for p in paths:
+        if p.endswith(".flac"):
+            from voicemap_tpu.data import flac_ext
+
+            data, sr = flac_ext.read(p)
+        else:
+            data, sr = audio.read_wav(p)
+        if sr != cfg.data.sample_rate:
+            raise SystemExit(
+                f"{p}: sample rate {sr} != configured {cfg.data.sample_rate}"
+            )
+        if data.shape[0] < frag:
+            data = np.pad(data, (0, frag - data.shape[0]))
+        waves.append(data)
+    t_store = max(w.shape[0] for w in waves)
+    audio_arr = np.zeros((len(waves), t_store), np.int16)
+    lengths = np.empty((len(waves),), np.int32)
+    for i, w in enumerate(waves):
+        audio_arr[i, : w.shape[0]] = w
+        lengths[i] = w.shape[0]
+    n = len(waves)
+    return AudioStore(
+        audio=audio_arr,
+        lengths=lengths,
+        labels=np.zeros((n,), np.int32),
+        speaker_utts=np.arange(n, dtype=np.int32)[None, :],
+        speaker_counts=np.asarray([n], np.int32),
+        sample_rate=cfg.data.sample_rate,
+        label_names=[0],
+    )
+
+
+def main():
+    args = parse_args()
+    if not args.files and not args.subsets:
+        raise SystemExit("give audio files or --subsets")
+    import numpy as np
+
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import build_model, init_model_state
+
+    cfg = C.ExperimentConfig(
+        mode=args.mode,
+        data=C.DataConfig(
+            data_root=args.data_root,
+            subsets=tuple(args.subsets or ("dev-clean",)),
+            seconds=args.seconds,
+            downsampling=1 if args.mode == "melspec2d" else args.downsampling,
+            stochastic=False,
+        ),
+        encoder=C.EncoderConfig(
+            filters=args.filters, embedding_dim=args.embedding_dim,
+            compute_dtype=args.compute_dtype,
+        ),
+    )
+    if args.subsets:
+        from voicemap_tpu.data.dataset import dataset_from_config
+
+        ds = dataset_from_config(cfg.data)
+        host = ds.to_store(args.max_store_seconds)
+        paths = [os.path.join(args.data_root, f) for f in ds.df.filepath]
+        num_classes = ds.num_classes()
+    else:
+        host = _store_from_files(args.files, cfg)
+        paths = list(args.files)
+        num_classes = 2  # head size is irrelevant for embeddings
+    store = steps_mod.device_store_for(cfg, host)
+
+    model = build_model(cfg, num_classes=num_classes)
+    state = init_model_state(model, cfg)
+    if args.checkpoint_dir:
+        from voicemap_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = (mgr.restore_best(state) if args.which == "best"
+                    else mgr.restore_latest(state))
+        if restored is None:
+            raise SystemExit(f"no {args.which} checkpoint under {args.checkpoint_dir}")
+        state = restored
+        print(f"restored {args.which} checkpoint at step {int(state.step)}")
+    else:
+        print("WARNING: embedding with an untrained (random-init) model")
+
+    table = np.asarray(
+        nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size)
+    )
+    np.savez(args.out, embeddings=table, paths=np.asarray(paths))
+    print(f"wrote {args.out}: embeddings {table.shape}, {len(paths)} files")
+
+
+if __name__ == "__main__":
+    main()
