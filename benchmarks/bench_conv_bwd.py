@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from voicemap_tpu.ops.pallas_routing import pallas_route_bwd
 from voicemap_tpu.utils.profiling import time_fn
 
 # (T_in, Cin, C) at the encoder's block inputs for the baseline config
@@ -172,7 +173,7 @@ def main(block_idx=1, B=512):
     a = jax.jit(fns["fwd"])(x, w, b)
     dz = jax.jit(fns["route"])(a, g, c0, c1, c2,
                                sgn.astype(dtype)).astype(dtype)
-    _, idx, _, _ = jax.jit(fns["fwd_pool"])(x, w, b, sgn.astype(dtype))
+    asel, idx, _, _ = jax.jit(fns["fwd_pool"])(x, w, b, sgn.astype(dtype))
 
     gemm_tflop = 2 * B * T * K * cin * c / 1e12
     print(f"block {block_idx}: B={B} T={T} Cin={cin} C={c}; "
@@ -192,6 +193,8 @@ def main(block_idx=1, B=512):
             x_, w_, b_, sgn.astype(dtype)), (x, w, b)),
         ("route_idx", lambda a_, i_, g_: fns["route_idx"](
             a_, i_, g_, c0, c1, c2), (a, idx, g)),
+        ("route_plls", lambda a_, s_, g_: pallas_route_bwd(
+            a_, s_, g_, c0, c1, c2, POOL, out_dtype=dtype), (a, asel, g)),
         ("bwd_all_idx", lambda x_, w_, a_, i_, g_: fns["bwd_all_idx"](
             x_, w_, a_, i_, g_, c0, c1, c2), (x, w, a, idx, g)),
     ]

@@ -215,9 +215,26 @@ def test_mu_var_outputs_differentiable():
 @pytest.mark.parametrize("save_act", [True, False])
 @pytest.mark.parametrize("pool,dilation", [(2, 1), (2, 4), (1, 2)])
 def test_blockn_value_and_grad_parity(pool, dilation, save_act):
+    _check_blockn_parity(pool, dilation, save_act, routing="xla")
+
+
+@pytest.mark.parametrize("pool,dilation", [(2, 1), (2, 4), (1, 2)])
+def test_blockn_pallas_routing_parity(pool, dilation):
+    """Mosaic pool/routing kernels (interpret mode) == flax at f32.
+
+    Exercises ops/pallas_routing.py's forward pool/stat kernel and the
+    backward a_sel-equality routing kernel end to end through the
+    custom VJP, including value ties and negative BN scales."""
+    _check_blockn_parity(pool, dilation, save_act=True, routing="pallas",
+                         interpret=True)
+
+
+def _check_blockn_parity(pool, dilation, save_act, routing="xla",
+                         interpret=False):
     from voicemap_tpu.ops.conv_train import make_fused_blockn_train
 
-    Cin, Cout, k, Bn, Tn = 6, 16, 3, 4, 64
+    # Cout=128: the Pallas routing kernels require lane-aligned channels.
+    Cin, Cout, k, Bn, Tn = 6, 128, 3, 4, 64
     blk = ConvBlock(
         features=Cout, kernel_size=k, pool_size=pool, dropout=0.0,
         dilation=dilation, compute_dtype=jnp.float32,
@@ -230,7 +247,8 @@ def test_blockn_value_and_grad_parity(pool, dilation, save_act):
 
     fn = make_fused_blockn_train(pool, EPS, dilation=dilation,
                                  gemm_dtype="float32", sel_dtype="float32",
-                                 save_act=save_act)
+                                 save_act=save_act, routing=routing,
+                                 interpret=interpret)
     gw = jax.random.normal(jax.random.PRNGKey(6), (Bn, Tn // pool, Cout))
 
     def loss_ref(p, x):

@@ -385,3 +385,26 @@ def test_resolve_blockn_policy():
     T = cfg.data.model_length
     worst = 16 * (T // 4) * e.filters * e.filter_multipliers[1] * 2
     assert worst < _SAVE_ACT_LIMIT_BYTES
+
+
+def test_resolve_blockn_activation_band(monkeypatch):
+    """On TPU the auto policy uses fused blocks only inside the measured
+    activation band: tiny batches are dispatch-bound (autodiff wins) and
+    huge ones exceed HBM with save-act residuals (BASELINE.md round 3)."""
+    import voicemap_tpu.train.steps as steps_mod
+    from voicemap_tpu.config import DataConfig, EncoderConfig, TrainConfig
+
+    monkeypatch.setattr(steps_mod.jax, "default_backend", lambda: "tpu")
+
+    def cfg_at(batch):
+        return ExperimentConfig(
+            mode="classifier",
+            data=DataConfig(data_root="/tmp", seconds=3.0, downsampling=4),
+            encoder=EncoderConfig(),
+            train=TrainConfig(batch_size=batch),
+        )
+
+    assert steps_mod.resolve_blockn(cfg_at(32)) == "jnp"  # 49 MB < 90 MB
+    assert steps_mod.resolve_blockn(cfg_at(64)) == "fused"  # 98 MB
+    assert steps_mod.resolve_blockn(cfg_at(2048)) == "fused"  # 3.1 GB
+    assert steps_mod.resolve_blockn(cfg_at(4096)) == "jnp"  # 6.3 GB > 3.5 GB

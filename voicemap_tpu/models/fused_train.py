@@ -82,20 +82,32 @@ def _jnp_block_train(x, blk, bst, *, pool, dilation, eps, momentum, dropout,
 
 
 def _fused_block_train(x, blk, bst, *, pool, dilation, eps, momentum,
-                       dropout, drop_key, cdt, save_act=True):
+                       dropout, drop_key, cdt, save_act=True,
+                       pallas_routing=False, interpret=False):
     """Blocks-1+ train step through the custom-VJP affine-folded op.
 
     Same semantics as ``_jnp_block_train`` with dropout commuted to pool
     rate (channel-broadcast masks are per-channel monotone scalings, so
-    they preserve the pool's argmax — the block-0 path's argument)."""
+    they preserve the pool's argmax — the block-0 path's argument).
+
+    ``pallas_routing`` selects the Mosaic pool/routing kernels
+    (ops/pallas_routing.py) when the block's channel count is
+    lane-aligned; silently degrades to the XLA lane-view path otherwise.
+    """
     from ..ops.conv_train import make_fused_blockn_train
+    from ..ops.pallas_routing import routing_supported
 
     f32 = cdt == jnp.float32
+    c_out = blk["conv"]["kernel"].shape[2]
+    use_pallas = (pallas_routing and save_act
+                  and routing_supported(c_out, cdt))
     fn = make_fused_blockn_train(
         pool, eps, dilation=dilation,
         gemm_dtype="float32" if f32 else "bfloat16",
         sel_dtype="float32" if f32 else "bfloat16",
         save_act=save_act,
+        routing="pallas" if use_pallas else "xla",
+        interpret=interpret,
     )
     T = x.shape[1]
     if pool > 1 and T % pool:
@@ -130,8 +142,11 @@ def encoder_train_forward(
 
     ``blockn``: how blocks 1+ run — ``"jnp"`` = flax-semantics functional
     blocks differentiated by autodiff; ``"fused"`` = the custom-VJP
-    affine-folded op (ops/conv_train.py::make_fused_blockn_train — pool-rate
-    residuals, conv recomputed in backward)."""
+    affine-folded op (ops/conv_train.py::make_fused_blockn_train,
+    save-act variant, lane-view/argmax-index pooling); ``"fused_recompute"``
+    = its pool-rate-residual variant (conv recomputed in backward);
+    ``"fused_pallas"`` = experimental Mosaic pool/routing kernels (see the
+    negative-result note at the call site)."""
     cdt = _DTYPES[cfg.compute_dtype]
     if cfg.dropout > 0.0 and dropout_key is None:
         raise ValueError("dropout_key required when cfg.dropout > 0")
@@ -171,7 +186,12 @@ def encoder_train_forward(
         }}
         start = 1
     for i in range(start, len(cfg.filter_multipliers)):
-        if blockn in ("fused", "fused_recompute"):
+        if blockn in ("fused", "fused_recompute", "fused_pallas"):
+            # "fused_pallas" (Mosaic pool/routing kernels) is EXPERIMENTAL,
+            # not production: measured at B=1024 it beats the XLA lane-view
+            # path on blocks 2-3 by ~1-2 ms but loses 4 ms on block 1, and
+            # its materialization boundaries push the B=2048 program over
+            # HBM capacity (BASELINE.md round 3 negative result).
             h, new_bn = _fused_block_train(
                 h, params[f"block_{i}"], batch_stats[f"block_{i}"]["bn"],
                 pool=cfg.pool_sizes[i], dilation=cfg.dilations[i],
@@ -179,7 +199,9 @@ def encoder_train_forward(
                 dropout=cfg.dropout,
                 drop_key=(jax.random.fold_in(dropout_key, i)
                           if cfg.dropout > 0.0 else None),
-                cdt=cdt, save_act=(blockn == "fused"),
+                cdt=cdt, save_act=(blockn != "fused_recompute"),
+                pallas_routing=(blockn == "fused_pallas"),
+                interpret=interpret,
             )
         else:
             h, new_bn = _jnp_block_train(

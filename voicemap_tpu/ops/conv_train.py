@@ -131,6 +131,8 @@ def make_fused_blockn_train(
     gemm_dtype: str = "bfloat16",
     sel_dtype: str = "bfloat16",
     save_act: bool = True,
+    routing: str = "xla",
+    interpret: bool = False,
 ):
     """Custom-VJP conv+relu+BN(train)+maxpool for MID-NETWORK blocks (Cin>1).
 
@@ -153,9 +155,30 @@ def make_fused_blockn_train(
 
     Returns ``fn(x, w, b, gamma, beta) -> (pooled_y, mu, var)``; f32-exact
     vs flax semantics at gemm_dtype=float32 (tests/test_conv_train.py).
+
+    Pooling/routing use the LANE-VIEW formulation (bench_conv_bwd.py): the
+    full-rate activation is viewed as ``(B, T/pool, pool·C)`` — a free
+    row-major reshape — so each pool phase is a static lane slice at a
+    C-multiple. The forward takes the sign-directed max across phase
+    slices and records the argmax phase as an int8 residual; the backward
+    routes the pooled cotangent by comparing against that index, with no
+    cross-phase ``taken`` chain and no 4-D stack. Measured (block 1,
+    B=512, v5e): composed backward 24.5 → 14.8 ms; XLA's conv transposes
+    were never the problem (dW at 174+ TFLOP/s).
+
+    ``routing='pallas'`` (requires ``save_act`` and lane-aligned C) moves
+    the forward pool/stat epilogue and the backward routing pass into
+    Mosaic kernels (ops/pallas_routing.py) that touch the full-rate
+    activation exactly once each — XLA's emission of the same lane-view
+    chain still measures ~3–4× above the HBM bound. The convolutions stay
+    with XLA either way.
     """
     dtype = jnp.dtype(gemm_dtype)
     sdt = jnp.dtype(sel_dtype)
+    if routing not in ("xla", "pallas"):
+        raise ValueError(routing)
+    if routing == "pallas" and not save_act:
+        raise ValueError("routing='pallas' requires save_act=True")
 
     def conv_f32acc(x, w):
         """Fast-path conv: dtype operands, f32 accumulation (MXU-native)."""
@@ -174,12 +197,37 @@ def make_fused_blockn_train(
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
 
+    def _pool_lane(a, sgn_like):
+        """Sign-directed max-pool via the lane view → (a_sel, idx int8).
+
+        ``idx`` is the FIRST phase (time order) achieving the max — the
+        same routing XLA's reduce_window max gradient uses, enforced by
+        strict-``>`` updates.
+        """
+        B, T, c = a.shape
+        al = a.reshape(B, T // pool, pool * c)
+        best = sgn_like * al[:, :, :c]
+        idx = jnp.zeros(best.shape, jnp.int8)
+        for j in range(1, pool):
+            sj = sgn_like * al[:, :, j * c:(j + 1) * c]
+            gt = sj > best
+            best = jnp.where(gt, sj, best)
+            idx = jnp.where(gt, jnp.int8(j), idx)
+        return sgn_like * best, idx
+
     def primal(x, w, b, gamma, beta):
         B, T, _ = x.shape
-        c = w.shape[2]
         N = B * T
         sgn = jnp.where(gamma >= 0, 1.0, -1.0).astype(jnp.float32)
-        if save_act:
+        if routing == "pallas":
+            from .pallas_routing import pallas_pool_fwd
+
+            a = jax.nn.relu(conv_uni(x.astype(dtype), w.astype(dtype))
+                            + b.astype(dtype))
+            sel, sum_a, sumsq_a = pallas_pool_fwd(
+                a, sgn, pool, sel_dtype=sdt, interpret=interpret)
+            idx = None
+        elif save_act:
             # Activation in gemm_dtype (= flax's conv output dtype); f32
             # accumulation happens inside the stat reductions.
             a = jax.nn.relu(conv_uni(x.astype(dtype), w.astype(dtype))
@@ -187,22 +235,18 @@ def make_fused_blockn_train(
             af = a.astype(jnp.float32)
             sum_a = jnp.sum(af, axis=(0, 1))
             sumsq_a = jnp.sum(af * af, axis=(0, 1))
-            sgn_d = sgn.astype(dtype)
-            ar = a.reshape(B, T // pool, pool, c)
-            a_sel = (sgn_d * jnp.max(sgn_d[None, None, None, :] * ar, axis=2)
-                     ).astype(sdt)
+            sel, idx = _pool_lane(a, sgn.astype(dtype))
         else:
             a = jax.nn.relu(conv_f32acc(x, w) + b.astype(jnp.float32))
             sum_a = jnp.sum(a, axis=(0, 1))
             sumsq_a = jnp.sum(a * a, axis=(0, 1))
-            ar = a.reshape(B, T // pool, pool, c)
-            a_sel = (sgn * jnp.max(sgn[None, None, None, :] * ar, axis=2)
-                     ).astype(sdt)
+            sel, idx = _pool_lane(a, sgn)
+        a_sel = sel.astype(sdt)
         mu = sum_a / N
         var = jnp.maximum(sumsq_a / N - mu * mu, 0.0)
         r = jax.lax.rsqrt(var + eps)
         pooled = (a_sel.astype(jnp.float32) - mu) * (gamma * r) + beta
-        return pooled, mu, var, a, a_sel, sgn
+        return pooled, mu, var, a, a_sel, idx
 
     @jax.custom_vjp
     def fused(x, w, b, gamma, beta):
@@ -210,41 +254,26 @@ def make_fused_blockn_train(
         return pooled, mu, var
 
     def fwd(x, w, b, gamma, beta):
-        pooled, mu, var, a, a_sel, sgn = primal(x, w, b, gamma, beta)
-        # a_sel is NOT a residual: the backward re-derives it from the
-        # routing recompute — one pool-rate tensor less in HBM per block.
+        pooled, mu, var, a, a_sel, idx = primal(x, w, b, gamma, beta)
+        # Pool-rate residuals a_sel + idx are cheap (1/pool rate, sdt+int8)
+        # and buy the backward two things: the BN sums S1/S2 read pool-rate
+        # tensors instead of re-deriving the selection from full-rate a,
+        # and the routing select against idx is forward-consistent by
+        # construction (no bitwise-equality recompute).
         a_res = a.astype(dtype) if save_act else None
-        return (pooled, mu, var), (x, w, b, gamma, sgn, a_res, mu, var)
+        return (pooled, mu, var), (x, w, b, gamma, a_res, a_sel, idx, mu, var)
 
     def bwd(res, cots):
         g, g_mu, g_var = cots
-        x, w, b, gamma, sgn, a_res, mu, var = res
+        x, w, b, gamma, a_res, a_sel, idx, mu, var = res
         B, T_out = g.shape[0], g.shape[1]
         c = w.shape[2]
         N = B * T_out * pool
         r = jax.lax.rsqrt(var + eps)
         m = gamma * r
 
-        # Activation for routing/gating: the saved residual, or a recompute
-        # from the SAME in-context inputs (self-consistent either way).
-        # Everything full-rate stays in the GEMM dtype: the elementwise
-        # routing/gating chain fuses into the single materialized dz (bf16
-        # halves the transient HBM footprint — an all-f32 version of this
-        # chain OOMs at B=2048), and the per-channel f32 constants ride
-        # inside the fused loop.
-        xb = x.astype(dtype)
-        wb = w.astype(dtype)
-        if save_act:
-            a = a_res
-        else:
-            a = jax.nn.relu(conv_uni(xb, wb) + b.astype(dtype))
-        ar = a.reshape(B, T_out, pool, c)
-        sgn_d = sgn.astype(dtype)
-        gb = g.astype(dtype)
-        best = jnp.max(sgn_d[None, None, None, :] * ar, axis=2)
-
-        # Pool-rate BN sums from the recomputed selection (a_sel = sgn·best).
-        ahat_sel = (sgn * best.astype(jnp.float32) - mu) * r
+        # Pool-rate BN sums straight from the stored selection.
+        ahat_sel = (a_sel.astype(jnp.float32) - mu) * r
         S1 = jnp.sum(g, axis=(0, 1))
         S2 = jnp.sum(g * ahat_sel, axis=(0, 1))
         dbeta = S1
@@ -253,18 +282,40 @@ def make_fused_blockn_train(
         c1 = -m * S1 / N + m * r * mu * S2 / N + g_mu / N - 2.0 * mu * g_var / N
         c2 = -m * r * S2 / N + 2.0 * g_var / N
 
-        taken = jnp.zeros(best.shape, bool)
-        routed = []
-        for j in range(pool):
-            eq = (sgn_d[None, None, :] * ar[:, :, j, :] == best) & ~taken
-            routed.append(jnp.where(eq, gb, 0.0))
-            taken = taken | eq
-        g_full = jnp.stack(routed, axis=2).reshape(B, T_out * pool, c)
-        da = (c0.astype(dtype) * g_full
-              + c1.astype(dtype)
-              + c2.astype(dtype) * a)
-        dz = jnp.where(a > 0, da, jnp.zeros((), dtype))
-        db = jnp.sum(dz, axis=(0, 1), dtype=jnp.float32)
+        # Activation for the c2·a term and the relu gate: the saved
+        # residual, or a recompute from the same in-context inputs.
+        # Everything full-rate stays in the GEMM dtype: the routing/gating
+        # chain fuses into the single materialized dz (bf16 halves the
+        # transient HBM footprint), and the per-channel f32 constants ride
+        # inside the fused loop. Routing compares each phase's lane slice
+        # against the stored argmax index — one select per phase, no
+        # cross-phase dependency.
+        xb = x.astype(dtype)
+        wb = w.astype(dtype)
+        if save_act:
+            a = a_res
+        else:
+            a = jax.nn.relu(conv_uni(xb, wb) + b.astype(dtype))
+        if routing == "pallas":
+            from .pallas_routing import pallas_route_bwd
+
+            dz, db = pallas_route_bwd(
+                a, a_sel, g, c0, c1, c2, pool, out_dtype=dtype,
+                interpret=interpret)
+        else:
+            al = a.reshape(B, T_out, pool * c)
+            gb = g.astype(dtype)
+            c0d, c1d, c2d = (c0.astype(dtype), c1.astype(dtype),
+                             c2.astype(dtype))
+            zero = jnp.zeros((), dtype)
+            parts = []
+            for j in range(pool):
+                aj = al[:, :, j * c:(j + 1) * c]
+                gj = jnp.where(idx == j, gb, zero)
+                daj = c0d * gj + c1d + c2d * aj
+                parts.append(jnp.where(aj > 0, daj, zero))
+            dz = jnp.concatenate(parts, axis=2).reshape(B, T_out * pool, c)
+            db = jnp.sum(dz, axis=(0, 1), dtype=jnp.float32)
 
         (dw,) = jax.linear_transpose(lambda w_: conv_uni(xb, w_), wb)(dz)
         (dx,) = jax.linear_transpose(lambda x_: conv_uni(x_, wb), xb)(dz)

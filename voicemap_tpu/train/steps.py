@@ -54,25 +54,35 @@ def _fused_impl() -> str:
 
 
 # Largest per-block full-rate activation (bytes) at which the save-act
-# fused blocks-1+ op still fits comfortably next to the rest of the train
-# program on a 16 GB v5e. Measured round 3: B=1024 (block-1 act 1.57 GB)
-# wins −12%; B=2048 (3.1 GB) OOMs at compile.
-_SAVE_ACT_LIMIT_BYTES = 1.8e9
+# fused blocks-1+ op still fits next to the rest of the train program on a
+# 16 GB v5e. Measured round 3: with the lane-view/argmax-index routing the
+# B=2048 program (block-1 act 3.1 GB) compiles and runs 248 ms fwd+bwd vs
+# 396 ms flax; the next power of two (6.3 GB/block) cannot fit — total
+# save-act residuals alone would exceed HBM.
+_SAVE_ACT_LIMIT_BYTES = 3.5e9
+
+# Below this block-1 activation size the fused blocks-1+ op LOSES to
+# autodiff: the program is dispatch/epilogue-bound and the op's extra
+# pool-rate residual writes + custom-VJP boundaries cost more than the
+# routing they save. Measured round 3 (baseline geometry): B=32 (49 MB)
+# auto 3.45 vs 3.03 ms with autodiff blocks; B=64 (98 MB) fused already
+# wins 7.23 vs 7.91 (BASELINE.md sweep).
+_SAVE_ACT_MIN_BYTES = 9e7
 
 
 def resolve_blockn(cfg: ExperimentConfig) -> str:
     """Blocks-1+ impl for the fused train forward: 'fused' or 'jnp'.
 
     None = auto (TPU only): the custom-VJP affine-folded op in its save-act
-    variant — measured −12% on the full step at B=1024 (it replaces XLA's
-    BN-transpose + reduce_window max-gradient backward with one fused
-    routing pass; BASELINE.md round 3) — but only while every block's
-    full-rate activation stays under ``_SAVE_ACT_LIMIT_BYTES``: beyond that
-    the residuals push the B=2048-class programs over HBM capacity (compile
-    OOM), and the recompute variant that WOULD fit measured slower than
-    autodiff (317 vs 303 ms — the extra conv GEMM costs more than the
-    residual traffic it saves, the same verdict as round 2's remat
-    experiment). So: fused when it fits, autodiff when it doesn't.
+    variant with lane-view/argmax-index pooling (it replaces XLA's
+    BN-transpose + reduce_window max-gradient backward with per-phase
+    index selects; BASELINE.md round 3 — 1.6× flax fwd+bwd at B=2048) —
+    while every block's full-rate activation stays under
+    ``_SAVE_ACT_LIMIT_BYTES`` (beyond that the save-act residuals exceed
+    HBM, and the recompute variant that WOULD fit measured slower than
+    autodiff: the extra conv GEMM costs more than the residual traffic it
+    saves, the same verdict as round 2's remat experiment). So: fused when
+    it fits, autodiff when it doesn't.
     """
     flag = cfg.train.use_fused_blockn
     if flag is not None:
@@ -88,7 +98,8 @@ def resolve_blockn(cfg: ExperimentConfig) -> str:
             worst = max(worst, B * t * e.filters * mult * 2)  # bf16 act
         if pool > 1:
             t //= pool
-    return "fused" if worst <= _SAVE_ACT_LIMIT_BYTES else "jnp"
+    return ("fused" if _SAVE_ACT_MIN_BYTES <= worst <= _SAVE_ACT_LIMIT_BYTES
+            else "jnp")
 
 
 @flax.struct.dataclass
