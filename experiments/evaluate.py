@@ -78,15 +78,26 @@ def main():
             num_eval_tasks=args.num_tasks, n_shot=args.n_shot, k_way=args.k_way,
         ),
     )
-    ds = dataset_from_config(cfg.data)
-    store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
-    model = build_model(cfg, num_classes=ds.num_classes())
-    state = init_model_state(model, cfg)
+    ds = dataset_from_config(cfg.data)  # index only — no decode yet
+    num_classes = ds.num_classes()
 
+    mgr = None
     if args.checkpoint_dir:
         from voicemap_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
+        # The restore template's head must match the CHECKPOINT's class
+        # count, not the eval corpus's (orbax StandardRestore is shape-strict).
+        ckpt_classes = mgr.head_num_classes(args.which)
+        if ckpt_classes is not None and ckpt_classes != num_classes:
+            print(f"sizing head to checkpoint: {ckpt_classes} classes "
+                  f"(eval corpus has {num_classes})")
+            num_classes = ckpt_classes
+
+    model = build_model(cfg, num_classes=num_classes)
+    state = init_model_state(model, cfg)
+
+    if mgr is not None:
         restored = (
             mgr.restore_best(state) if args.which == "best"
             else mgr.restore_latest(state)
@@ -112,6 +123,9 @@ def main():
             print(json.dumps(r))
         return
 
+    # Decode + ship the corpus only for the ad-hoc path (run_protocol builds
+    # its own per-entry stores with the manifest's pinned fragment settings).
+    store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
     acc = nshot.evaluate(
         model, state, store, cfg, jax.random.PRNGKey(args.seed),
         num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way, fast=args.fast,

@@ -21,10 +21,12 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-root", default=C.DATA_PATH)
     p.add_argument("--subsets", nargs="+", default=["dev-clean"])
-    p.add_argument("--val-subsets", nargs="+", default=["test-clean"],
+    p.add_argument("--val-subsets", nargs="+", default=None,
                    help="held-out eval subsets (reference protocol gates on a "
-                        "held-out subset, stochastic=False); pass 'none' to "
-                        "gate on the training store (warns)")
+                        "held-out subset, stochastic=False); default: "
+                        "test-clean when available, else falls back to the "
+                        "training store with a warning; pass 'none' to gate "
+                        "on the training store explicitly (warns)")
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--downsampling", type=int, default=4)
     p.add_argument("--label", default="speaker", choices=["speaker", "sex"])
@@ -70,9 +72,32 @@ def parse_args():
     p.add_argument("--profile", default=None,
                    help="trace N eval-interval steps to this TensorBoard logdir")
     args = p.parse_args()
-    if args.val_subsets and [s.lower() for s in args.val_subsets] == ["none"]:
-        args.val_subsets = None
+    args.val_subsets = _resolve_val_subsets(args, ["test-clean"])
     return args
+
+
+def _resolve_val_subsets(args, default):
+    """Default held-out subsets only when they exist (or will — --synthetic
+    generates them); a corpus without them falls back to training-store eval
+    with a note instead of a hard FileNotFoundError. An EXPLICIT
+    --val-subsets still fails loudly on a missing subset."""
+    if args.val_subsets is None:
+        if args.synthetic:
+            return list(default)
+        from voicemap_tpu.data.index import subset_available
+
+        missing = [s for s in default
+                   if not subset_available(args.data_root, s)]
+        if missing:
+            print(f"note: default val subset(s) {missing} not found under "
+                  f"{args.data_root} — gating on the training store "
+                  "(overstates accuracy; pass --val-subsets for the "
+                  "held-out protocol)")
+            return None
+        return list(default)
+    if [s.lower() for s in args.val_subsets] == ["none"]:
+        return None
+    return args.val_subsets
 
 
 def main():

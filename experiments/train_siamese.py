@@ -19,10 +19,12 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-root", default=C.DATA_PATH)
     p.add_argument("--subsets", nargs="+", default=["train-clean-100"])
-    p.add_argument("--val-subsets", nargs="+", default=["dev-clean"],
+    p.add_argument("--val-subsets", nargs="+", default=None,
                    help="held-out eval subsets (reference protocol: dev-clean, "
-                        "stochastic=False); pass 'none' to gate on the "
-                        "training store (warns)")
+                        "stochastic=False); default: dev-clean when "
+                        "available, else falls back to the training store "
+                        "with a warning; pass 'none' to gate on the training "
+                        "store explicitly (warns)")
     p.add_argument("--seconds", type=float, default=3.0)
     p.add_argument("--downsampling", type=int, default=4)
     p.add_argument("--filters", type=int, default=128)
@@ -62,8 +64,9 @@ def parse_args():
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--profile", default=None)
     args = p.parse_args()
-    if args.val_subsets and [s.lower() for s in args.val_subsets] == ["none"]:
-        args.val_subsets = None
+    from experiments.train_classifier import _resolve_val_subsets
+
+    args.val_subsets = _resolve_val_subsets(args, ["dev-clean"])
     return args
 
 

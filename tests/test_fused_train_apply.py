@@ -123,6 +123,43 @@ def test_ineligible_input_falls_back():
     _tree_allclose(new_bs, mut["batch_stats"], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("t_in", [260, 258])
+def test_blockn_fused_pool_remainder_falls_back(t_in):
+    """blockn='fused' must keep flax semantics when a block's time axis does
+    not divide its pool: such blocks (and block 0 whenever the dedicated
+    Pallas block-0 op is ineligible) fall back to the autodiff block — conv
+    over the FULL input, BN stats over full T, truncate only at the pool.
+    t_in=260: block 0 eligible (260%4=0), block 1 remainder (65%2=1).
+    t_in=258: block 0 ineligible (258%4=2) → starts the loop at block 0,
+    which must NOT route through the mid-network fused op."""
+    model = SpeakerClassifier(CFG, num_classes=3)
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, t_in, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(12), x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    y = jax.random.randint(jax.random.PRNGKey(13), (B,), 0, 3)
+
+    def loss_ref(p):
+        logits, mut = model.apply(
+            {"params": p, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        onehot = jax.nn.one_hot(y, 3)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)), mut
+
+    def loss_fused(p):
+        logits, new_bs = classifier_train_forward(
+            p, bs, CFG, x, impl="xla", interpret=True, blockn="fused"
+        )
+        onehot = jax.nn.one_hot(y, 3)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, -1)), new_bs
+
+    (lr, mut), gr = jax.value_and_grad(loss_ref, has_aux=True)(params)
+    (lf, new_bs), gf = jax.value_and_grad(loss_fused, has_aux=True)(params)
+    np.testing.assert_allclose(lf, lr, rtol=1e-5, atol=1e-6)
+    _tree_allclose(gf, gr)
+    _tree_allclose(new_bs, mut["batch_stats"], rtol=1e-5, atol=1e-6)
+
+
 def test_dropout_structure():
     """Pool-rate SpatialDropout: whole channels zeroed or scaled by 1/keep."""
     cfg = dataclasses.replace(CFG, dropout=0.5)

@@ -100,3 +100,29 @@ def test_protocol_seed_pinned_reproducible(proto_corpus):
                                max_store_seconds=5.0)
     assert r1[0]["accuracy"] == r2[0]["accuracy"]
     assert r1[0]["corpus_fingerprint"] == r2[0]["corpus_fingerprint"]
+
+
+def test_check_corpus_per_subset_on_combined_dataset(proto_corpus):
+    """A combined multi-subset dataset must be checked subset-by-subset
+    against the manifest pins (not with the combined totals)."""
+    m = protocol.load_manifest()
+    ident = {}
+    for s in ("dev-clean", "test-clean"):
+        ds = SpeakerDataset(subsets=(s,), seconds=3.0,
+                            data_root=proto_corpus, seed=0)
+        ident[s] = {
+            "n_speakers": int(ds.df.speaker_id.nunique()),
+            "n_utterances": int(len(ds.df)),
+            "fingerprint": protocol.corpus_fingerprint(ds),
+        }
+    m["corpus_identity"] = ident
+    both = SpeakerDataset(subsets=("dev-clean", "test-clean"), seconds=3.0,
+                          data_root=proto_corpus, seed=0)
+    fps = {}
+    for s in ("dev-clean", "test-clean"):
+        assert protocol.check_corpus(both, s, m, fingerprints=fps) == []
+    # fingerprints were cached (computed once per subset, reusable)
+    assert set(fps) == {"dev-clean", "test-clean"}
+    # and a genuinely wrong pin is still caught per-subset
+    m["corpus_identity"]["dev-clean"]["n_speakers"] += 1
+    assert protocol.check_corpus(both, "dev-clean", m) != []

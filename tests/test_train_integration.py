@@ -408,3 +408,43 @@ def test_resolve_blockn_activation_band(monkeypatch):
     assert steps_mod.resolve_blockn(cfg_at(64)) == "fused"  # 98 MB
     assert steps_mod.resolve_blockn(cfg_at(2048)) == "fused"  # 3.1 GB
     assert steps_mod.resolve_blockn(cfg_at(4096)) == "jnp"  # 6.3 GB > 3.5 GB
+
+
+def test_checkpoint_head_metadata(store_and_root, tmp_path):
+    """head_num_classes reads the stored classifier head width from orbax
+    metadata (no template) so eval/embed CLIs can size their restore
+    template to the checkpoint instead of the corpus being embedded."""
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    T = cfg.data.model_length
+    state = _init(model, cfg, (jnp.zeros((1, T, 1)),))
+
+    from voicemap_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ckmeta"))
+    mgr.save(state)
+    mgr.save_best(state, 0.5)
+    mgr.wait()
+    assert mgr.head_num_classes("latest") == ds.num_speakers
+    assert mgr.head_num_classes("best") == ds.num_speakers
+    # Restore with a template sized from the metadata — the scenario where
+    # the embedding corpus has a different class count than the checkpoint.
+    sized = SpeakerClassifier(cfg.encoder,
+                              num_classes=mgr.head_num_classes("best"))
+    template = _init(sized, cfg, (jnp.zeros((1, T, 1)),))
+    restored = mgr.restore_best(template)
+    assert restored is not None
+    # An empty directory yields None (callers fall back to corpus sizing).
+    empty = CheckpointManager(str(tmp_path / "ckempty"))
+    assert empty.head_num_classes("best") is None
+
+
+def test_fit_dp_on_requires_device_pipeline(corpus_root):
+    """An explicit dp='on' must fail loudly when the pipeline cannot be
+    data-parallel, not silently train single-device."""
+    from voicemap_tpu.train.loop import fit
+
+    cfg = small_cfg(corpus_root, "classifier", num_steps=1)
+    with pytest.raises(ValueError, match="dp='on'"):
+        fit(cfg, verbose=False, pipeline="streaming", dp="on")

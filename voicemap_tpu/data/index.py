@@ -47,6 +47,14 @@ def read_speakers_txt(path: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def subset_available(data_root: str, subset: str) -> bool:
+    """True when the subset can be indexed without error: its directory
+    exists under ``<root>/LibriSpeech/`` or a cached index CSV does."""
+    return os.path.isdir(
+        os.path.join(data_root, "LibriSpeech", subset)
+    ) or os.path.isfile(os.path.join(data_root, f"{subset}.index.csv"))
+
+
 def index_subset(data_root: str, subset: str) -> pd.DataFrame:
     """Walk one subset tree and probe every audio file.
 

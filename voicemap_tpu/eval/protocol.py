@@ -31,15 +31,17 @@ def load_manifest(path: Optional[str] = None) -> Dict:
         return json.load(f)
 
 
-def corpus_fingerprint(ds) -> str:
+def corpus_fingerprint(ds_or_df) -> str:
     """sha256 over the sorted '<relpath>|<speaker_id>|<seconds:.3f>' lines.
 
     Identifies the exact file set + durations without hashing audio bytes
-    (probe-only — runs off the cached index).
+    (probe-only — runs off the cached index). Accepts a dataset or a bare
+    index DataFrame (for per-subset views).
     """
+    df = getattr(ds_or_df, "df", ds_or_df)
     lines = sorted(
         f"{row.filepath}|{row.speaker_id}|{row.seconds:.3f}"
-        for row in ds.df.itertuples()
+        for row in df.itertuples()
     )
     h = hashlib.sha256()
     for line in lines:
@@ -48,15 +50,32 @@ def corpus_fingerprint(ds) -> str:
     return h.hexdigest()
 
 
-def check_corpus(ds, subset: str, manifest: Dict) -> List[str]:
-    """Mismatches between this dataset and the manifest's pinned identity
-    for ``subset`` (empty = verified; fingerprint null = recorded-on-trust)."""
+def _subset_frame(ds, subset: str):
+    """The rows of ``ds.df`` belonging to one subset (a combined multi-subset
+    dataset must be checked subset-by-subset against the manifest pins)."""
+    df = ds.df
+    if "subset" in df.columns:
+        return df[df.subset == subset]
+    return df[df.filepath.str.startswith(subset + "/")]
+
+
+def check_corpus(
+    ds, subset: str, manifest: Dict,
+    fingerprints: Optional[Dict[str, str]] = None,
+) -> List[str]:
+    """Mismatches between this dataset's ``subset`` rows and the manifest's
+    pinned identity (empty = verified; fingerprint null = recorded-on-trust).
+
+    ``fingerprints``: optional cache dict — computed per-subset fingerprints
+    are stored under their subset name so callers never hash an index twice.
+    """
     ident = manifest["corpus_identity"].get(subset)
     if ident is None:
         return [f"subset {subset} not pinned in the manifest"]
     problems = []
-    n_spk = int(ds.df.speaker_id.nunique())
-    n_utt = int(len(ds.df))
+    df = _subset_frame(ds, subset)
+    n_spk = int(df.speaker_id.nunique())
+    n_utt = int(len(df))
     if n_spk != ident["n_speakers"]:
         problems.append(
             f"{subset}: {n_spk} speakers, manifest pins {ident['n_speakers']}"
@@ -66,7 +85,11 @@ def check_corpus(ds, subset: str, manifest: Dict) -> List[str]:
             f"{subset}: {n_utt} utterances, manifest pins {ident['n_utterances']}"
         )
     if ident.get("fingerprint"):
-        fp = corpus_fingerprint(ds)
+        fp = (fingerprints or {}).get(subset)
+        if fp is None:
+            fp = corpus_fingerprint(df)
+            if fingerprints is not None:
+                fingerprints[subset] = fp
         if fp != ident["fingerprint"]:
             problems.append(f"{subset}: index fingerprint {fp[:16]}… != pinned")
     return problems
@@ -116,8 +139,9 @@ def run_protocol(
         cfg = cfg_base.replace(data=data_cfg)
         ds = dataset_from_config(cfg.data)
         problems = []
+        fps: Dict[str, str] = {}
         for subset in entry["subsets"]:
-            problems += check_corpus(ds, subset, manifest)
+            problems += check_corpus(ds, subset, manifest, fingerprints=fps)
         if problems and not allow_corpus_mismatch:
             raise ValueError(
                 "corpus does not match EVAL_PROTOCOL.json: "
@@ -143,7 +167,11 @@ def run_protocol(
             "k_way": entry["k_way"],
             "subsets": entry["subsets"],
             "task_seed": manifest["task_seed"],
-            "corpus_fingerprint": corpus_fingerprint(ds),
+            "corpus_fingerprint": (
+                fps[entry["subsets"][0]]
+                if len(entry["subsets"]) == 1 and entry["subsets"][0] in fps
+                else corpus_fingerprint(ds)
+            ),
             "corpus_verified": not problems,
             "corpus_problems": problems,
             "comparable_to_reference": not problems,

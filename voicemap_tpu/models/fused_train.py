@@ -111,7 +111,13 @@ def _fused_block_train(x, blk, bst, *, pool, dilation, eps, momentum,
     )
     T = x.shape[1]
     if pool > 1 and T % pool:
-        x = x[:, : (T // pool) * pool]
+        # Truncating the block INPUT before the conv would diverge from
+        # flax semantics (SAME-padding boundary + BN stats over full T);
+        # callers must route such blocks to _jnp_block_train instead.
+        raise ValueError(
+            f"fused blocks-1+ op needs T % pool == 0 (got T={T}, "
+            f"pool={pool}); use the jnp block for this shape"
+        )
     y, mu, var = fn(
         x, blk["conv"]["kernel"], blk["conv"]["bias"],
         blk["bn"]["scale"], blk["bn"]["bias"],
@@ -186,7 +192,18 @@ def encoder_train_forward(
         }}
         start = 1
     for i in range(start, len(cfg.filter_multipliers)):
-        if blockn in ("fused", "fused_recompute", "fused_pallas"):
+        # The fused blocks-1+ op is scoped to MID-NETWORK blocks whose time
+        # axis divides the pool: block 0 (Cin=1, k=32 — when the dedicated
+        # Pallas block-0 op was ineligible) and any T % pool remainder fall
+        # back to the flax-semantics autodiff block (conv over full T, BN
+        # stats over full T, truncate only at the pool — see
+        # _fused_block_train's ValueError).
+        fused_ok = (
+            blockn in ("fused", "fused_recompute", "fused_pallas")
+            and i >= 1
+            and (cfg.pool_sizes[i] <= 1 or h.shape[1] % cfg.pool_sizes[i] == 0)
+        )
+        if fused_ok:
             # "fused_pallas" (Mosaic pool/routing kernels) is EXPERIMENTAL,
             # not production: measured at B=1024 it beats the XLA lane-view
             # path on blocks 2-3 by ~1-2 ms but loses 4 ms on block 1, and

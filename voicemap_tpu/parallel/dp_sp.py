@@ -78,11 +78,16 @@ def make_dp_sp_classifier_train_step(
     n_data = mesh.shape[data_axis]
     n_seq = mesh.shape[seq_axis]
     if t.batch_size % n_data:
-        raise ValueError("global batch must divide the data-axis size")
+        raise ValueError(
+            f"data-axis size {n_data} must divide the global batch "
+            f"{t.batch_size}"
+        )
     local_B = t.batch_size // n_data
     T = cfg.data.model_length
     if T % n_seq:
-        raise ValueError("model_length must divide the seq-axis size")
+        raise ValueError(
+            f"seq-axis size {n_seq} must divide model_length {T}"
+        )
     t_loc = T // n_seq
     loss_fn = dp_sp_classifier_loss_fn(cfg, data_axis, seq_axis)
 

@@ -73,9 +73,44 @@ class CheckpointManager:
             return None
         return self._best_mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def metadata(self, which: str = "best") -> Optional[Any]:
+        """Shape/dtype metadata of the stored state, restored WITHOUT a
+        template — lets tools built around a checkpoint (e.g. the embed CLI)
+        size their model to the checkpoint instead of guessing (the head's
+        class count is not recoverable from the embedding corpus)."""
+        mgr = self._best_mgr if which == "best" else self._mgr
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        return mgr.item_metadata(step)
+
     def wait(self):
         self._mgr.wait_until_finished()
         self._best_mgr.wait_until_finished()
+
+    def head_num_classes(self, which: str = "best") -> Optional[int]:
+        """Width of the stored classifier head, or None when it doesn't
+        constrain the class count (siamese Dense(1) heads, missing/opaque
+        metadata). Lets eval/embed CLIs size their restore template to the
+        checkpoint instead of guessing from the corpus being evaluated."""
+        try:
+            meta = self.metadata(which)
+        except Exception:
+            return None
+        if meta is None:
+            return None
+        node = getattr(meta, "tree", meta)  # TreeMetadata wraps the pytree
+        for key in ("params", "head", "kernel"):
+            if isinstance(node, dict):
+                node = node.get(key)
+            else:
+                node = getattr(node, key, None)
+            if node is None:
+                return None
+        shape = getattr(node, "shape", None)
+        if not shape or len(shape) != 2:
+            return None
+        return int(shape[-1])
 
     def close(self):
         self.wait()

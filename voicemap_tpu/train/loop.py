@@ -91,6 +91,23 @@ def fit(
         if verbose:
             print(f"pipeline=auto → {pipeline} (est. store {est / 1e9:.2f} GB)")
 
+    # An explicit dp='on' must not be silently ignored — fail/warn up front,
+    # before any corpus decode (code-review finding, round 3).
+    if dp == "on" and pipeline != "device":
+        raise ValueError(
+            "dp='on' requires the device-resident pipeline, but this run "
+            f"resolved pipeline={pipeline!r} (corpus exceeds "
+            "streaming_threshold_bytes?); DP over the streaming pipeline "
+            "is not implemented — pass dp='auto' to proceed single-device"
+        )
+    if dp == "on" and jax.device_count() == 1:
+        import warnings
+
+        warnings.warn(
+            "dp='on' with a single attached device — training proceeds "
+            "unsharded", UserWarning, stacklevel=2,
+        )
+
     stream = None
     store = None
     if pipeline == "device":

@@ -94,7 +94,9 @@ def resolve_blockn(cfg: ExperimentConfig) -> str:
     t = cfg.data.model_length
     worst = 0
     for i, (mult, pool) in enumerate(zip(e.filter_multipliers, e.pool_sizes)):
-        if i >= 1:  # block 0 runs the Pallas op, VMEM-resident
+        if i >= 1:  # block 0 never uses the blockn op: it runs the dedicated
+            # Pallas block-0 op (VMEM-resident) when eligible, else the
+            # autodiff block (whose residuals both policies pay equally)
             worst = max(worst, B * t * e.filters * mult * 2)  # bf16 act
         if pool > 1:
             t //= pool
