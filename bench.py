@@ -111,12 +111,14 @@ def make_model_and_params(compute_dtype: str):
 
 
 def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
-                 use_pallas: bool = True) -> dict:
+                 use_pallas: bool = True, int8: bool = False) -> dict:
     """Fused on-device pipeline throughput on the attached accelerator.
 
     ``use_pallas`` routes preprocessing through the fused Pallas gather+whiten
     kernel over a pre-decimated store (the production fast path — see
-    ops/pallas_preprocess.py); else the jnp/XLA chain.
+    ops/pallas_preprocess.py); else the jnp/XLA chain. ``int8`` serves blocks
+    1+ of the encoder s8×s8→s32 (models/quant_infer.py, v5e int8 MXU runs at
+    ~2× the bf16 rate); fidelity vs the bf16 path goes to stderr.
     """
     import jax
     import jax.numpy as jnp
@@ -130,6 +132,8 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
     )
     offsets = jnp.asarray(rng.integers(0, STORE_T - FRAG, size=(batch_size,), dtype=np.int32))
 
+    qvars = None
+    fidelity = None
     if use_pallas and jax.default_backend() == "tpu":
         from voicemap_tpu.models.fast_infer import fast_embed
         from voicemap_tpu.ops.pallas_preprocess import (
@@ -142,11 +146,38 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
         indices = jnp.arange(batch_size, dtype=jnp.int32)
         enc_cfg = model.cfg
 
-        @jax.jit
-        def embed(store, offsets):
-            x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
-            return fast_embed(variables, enc_cfg, x)
+        if int8:
+            from voicemap_tpu.models.quant_infer import (
+                quant_embed, quantize_encoder,
+            )
+
+            x_cal = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
+            qvars = quantize_encoder(variables, enc_cfg, x_cal)
+            ref = np.asarray(fast_embed(variables, enc_cfg, x_cal), np.float64)
+            out = np.asarray(
+                quant_embed(variables, qvars, enc_cfg, x_cal), np.float64
+            )
+            cos = ((ref * out).sum(-1)
+                   / (np.linalg.norm(ref, axis=-1)
+                      * np.linalg.norm(out, axis=-1) + 1e-12))
+            fidelity = float(cos.min())
+
+            @jax.jit
+            def embed(store, offsets):
+                x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
+                return quant_embed(variables, qvars, enc_cfg, x)
+        else:
+
+            @jax.jit
+            def embed(store, offsets):
+                x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
+                return fast_embed(variables, enc_cfg, x)
     else:
+        if int8:
+            raise SystemExit(
+                "--int8 benches the TPU serving path (needs the Pallas "
+                "pipeline; drop --no-pallas and run on the chip)"
+            )
 
         @jax.jit
         def embed(store, offsets):
@@ -179,6 +210,10 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             x = pallas_gather_whiten(
                 store, one_idx, offsets, t_out, block_rows=1
             )[..., None]
+            if qvars is not None:
+                from voicemap_tpu.models.quant_infer import quant_embed
+
+                return quant_embed(variables, qvars, model.cfg, x)
             return fast_embed(variables, model.cfg, x)
     else:
 
@@ -202,7 +237,8 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             "steady_state_embed_ms": lat["mean_s"] * 1e3,
             "single_request_p50_ms": single["p50_s"] * 1e3,
             "single_request_p95_ms": single["p95_s"] * 1e3,
-            "batch": batch_size, "backend": jax.default_backend()}
+            "batch": batch_size, "backend": jax.default_backend(),
+            "int8_min_cosine_vs_bf16": fidelity}
 
 
 def bench_cpu_baseline(batch_size: int = 32, iters: int = 10) -> dict:
@@ -245,6 +281,9 @@ def main():
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp/XLA preprocessing chain instead of the fused Pallas kernel")
+    p.add_argument("--int8", action="store_true",
+                   help="bench the int8 PTQ serving path (blocks 1+ "
+                        "s8×s8→s32; models/quant_infer.py)")
     args = p.parse_args()
 
     if args.cpu_baseline:
@@ -262,9 +301,12 @@ def main():
 
     baseline = load_cpu_baseline()
     r = bench_device(args.batch_size or 2048, args.iters or 20,
-                 use_pallas=not args.no_pallas)
+                 use_pallas=not args.no_pallas, int8=args.int8)
+    metric = "utterances_per_sec_per_chip"
+    if args.int8:
+        metric += "_int8"
     print(json.dumps({
-        "metric": "utterances_per_sec_per_chip",
+        "metric": metric,
         "value": round(r["utt_per_sec"], 2),
         "unit": "utterances/sec (3s @ 16kHz, embed pipeline)",
         "vs_baseline": round(r["utt_per_sec"] / baseline, 2),
@@ -277,6 +319,12 @@ def main():
         f"transport RTT) | backend: {r['backend']}",
         file=sys.stderr,
     )
+    if args.int8:
+        print(
+            f"# int8 fidelity: min cosine vs bf16 fast_embed on the bench "
+            f"batch = {r['int8_min_cosine_vs_bf16']:.5f}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--out", default="embeddings.npz")
     p.add_argument("--max-store-seconds", type=float, default=30.0)
+    p.add_argument("--int8", action="store_true",
+                   help="serve blocks 1+ of the encoder int8-quantized "
+                        "(post-training, calibrated on the first batch; "
+                        "raw-waveform modes only — see models/quant_infer.py)")
     return p.parse_args()
 
 
@@ -119,12 +123,23 @@ def main():
         num_classes = 2  # head size is irrelevant for embeddings
     store = steps_mod.device_store_for(cfg, host)
 
-    model = build_model(cfg, num_classes=num_classes)
-    state = init_model_state(model, cfg)
+    mgr = None
     if args.checkpoint_dir:
         from voicemap_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
+        # Size the classifier head to the CHECKPOINT, not to the embedding
+        # corpus (orbax StandardRestore needs a shape-matching template;
+        # the corpus being embedded has no bearing on the trained head).
+        ckpt_classes = mgr.head_num_classes(args.which)
+        if ckpt_classes is not None and ckpt_classes != num_classes:
+            print(f"sizing head to checkpoint: {ckpt_classes} classes "
+                  f"(embedding corpus has {num_classes})")
+            num_classes = ckpt_classes
+
+    model = build_model(cfg, num_classes=num_classes)
+    state = init_model_state(model, cfg)
+    if mgr is not None:
         restored = (mgr.restore_best(state) if args.which == "best"
                     else mgr.restore_latest(state))
         if restored is None:
@@ -134,8 +149,27 @@ def main():
     else:
         print("WARNING: embedding with an untrained (random-init) model")
 
+    qvars = None
+    if args.int8:
+        if args.mode == "melspec2d":
+            raise SystemExit("--int8 supports raw-waveform encoders only")
+        import jax
+        import jax.numpy as jnp
+
+        from voicemap_tpu.models.quant_infer import quantize_encoder
+        from voicemap_tpu.train.steps import fetch_batch
+
+        n_cal = min(args.batch_size, int(store.labels.shape[0]))
+        x_cal = fetch_batch(store, jnp.arange(n_cal, dtype=jnp.int32),
+                            jax.random.PRNGKey(0), cfg, stochastic=False)
+        enc_vars = {"params": state.params["encoder"],
+                    "batch_stats": state.batch_stats["encoder"]}
+        qvars = quantize_encoder(enc_vars, cfg.encoder, x_cal)
+        print(f"int8 serving path: calibrated on {n_cal} utterances")
+
     table = np.asarray(
-        nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size)
+        nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size,
+                        qvars=qvars)
     )
     np.savez(args.out, embeddings=table, paths=np.asarray(paths))
     print(f"wrote {args.out}: embeddings {table.shape}, {len(paths)} files")

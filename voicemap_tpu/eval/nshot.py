@@ -64,6 +64,24 @@ def _embed_chunk_fn(model, cfg: ExperimentConfig, fast: bool = False):
     return embed_chunk
 
 
+def _quant_embed_chunk_fn(cfg: ExperimentConfig, qvars):
+    """int8 serving chunk embedder (models/quant_infer). Unlike
+    `_embed_chunk_fn` this closes over the quantized arrays, so the jit cache
+    lives per-qvars — fine for the one-shot serving CLIs it exists for."""
+    from ..models.quant_infer import quant_embed
+
+    @jax.jit
+    def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
+        x = fetch_batch(sto, indices, jax.random.PRNGKey(0), cfg, stochastic=False)
+        enc_vars = {
+            "params": st.params["encoder"],
+            "batch_stats": st.batch_stats["encoder"],
+        }
+        return quant_embed(enc_vars, qvars, cfg.encoder, x)
+
+    return embed_chunk
+
+
 def embed_all(
     model,
     state: TrainState,
@@ -71,9 +89,19 @@ def embed_all(
     cfg: ExperimentConfig,
     batch_size: int = 256,
     fast: bool = False,
+    qvars=None,
 ) -> jnp.ndarray:
-    """Embed every utterance in the store → (N, D) table (chunked, jitted)."""
-    embed_chunk = _embed_chunk_fn(model, cfg, fast)
+    """Embed every utterance in the store → (N, D) table (chunked, jitted).
+
+    ``qvars`` (from ``models/quant_infer.quantize_encoder``) switches blocks
+    1+ of the encoder to the s8×s8→s32 serving path (raw-waveform modes only).
+    """
+    if qvars is not None:
+        if cfg.mode not in ("classifier", "siamese"):
+            raise ValueError("int8 path supports raw-waveform encoders only")
+        embed_chunk = _quant_embed_chunk_fn(cfg, qvars)
+    else:
+        embed_chunk = _embed_chunk_fn(model, cfg, fast)
     N = store.labels.shape[0]
     chunks = []
     for start in range(0, N, batch_size):

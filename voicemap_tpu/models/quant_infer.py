@@ -1,0 +1,176 @@
+"""int8 post-training-quantized inference embedding path.
+
+TPU-native serving optimization with no reference analog (the reference
+serves f32 Keras inference — ``voicemap/models.py ::
+get_baseline_convolutional_encoder``); rebuilt here because the v5e MXU
+runs s8×s8→s32 at ~2× its bf16 rate and the compute-bound blocks 1+ of the
+encoder are exactly that shape of work (``models/fast_infer.py`` keeps them
+on the XLA conv emitter at ~74% MXU efficiency in bf16). int8 also halves
+the inter-block activation HBM traffic.
+
+Scheme — classic symmetric per-channel PTQ, folded for the MXU:
+
+- **Activations**: per-input-channel scales ``s_in[ci]`` from a calibration
+  batch (max-abs / 127). The post-BN activation is requantized inside the
+  previous block's epilogue, so blocks 1+ stream int8 activations.
+- **Weights**: the input scale is folded into the weight *before* weight
+  quantization (``w[k,ci,co] * s_in[ci]``), then per-output-channel
+  symmetric int8 (``s_w[co]``). One conv in s8×s8→s32 then reproduces
+  ``conv(x̂, w)`` up to rounding, where ``x̂`` is the dequantized input.
+- **Epilogue** (fused by XLA into the conv output): with ``s_w > 0`` by
+  construction, ``relu(acc·s_w + b) = s_w·relu(acc + b/s_w)``, so
+  conv-bias, BN inference affine, and the next block's requantization fold
+  into three per-channel f32 vectors::
+
+      z_q = clamp(round(alpha·relu(acc + beta) + gamma))
+      alpha = s_w·g / s_out,  beta = b / s_w,  gamma = h / s_out
+
+  where ``g = scale·rsqrt(var+eps)`` and ``h = bn_bias − mean·g``.
+- **Max-pool runs on the int8 tensor**: requantization is monotone per
+  channel (positive scale, nondecreasing round/clamp), so
+  ``max(quant(z)) == quant(max(z))`` exactly — pooling commutes with
+  quantization and moves 4× less data.
+- Block 0 is HBM-bound, not compute-bound, and already runs the fused
+  Pallas kernel in bf16 (``ops/pallas_conv.pallas_conv_block0``); it is NOT
+  quantized — its output is requantized once at full rate. The final block
+  dequantizes in its epilogue (bf16) ahead of global max-pool + Dense.
+
+Accuracy: property-tested against the bf16 path (embedding cosine
+similarity and n-shot nearest-neighbor decisions) in
+``tests/test_quant_infer.py``; measured end-to-end in ``bench.py --int8``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from .encoder import _DTYPES
+from .fast_infer import _xla_block, block0_pallas_eligible
+
+
+def _bn_affine(blk: Dict, bst: Dict, eps: float):
+    """Inference BatchNorm as per-channel affine: z = y*g + h (f32)."""
+    inv = jax.lax.rsqrt(bst["var"].astype(jnp.float32) + eps)
+    g = inv * blk["bn"]["scale"].astype(jnp.float32)
+    h = blk["bn"]["bias"].astype(jnp.float32) - bst["mean"].astype(jnp.float32) * g
+    return g, h
+
+
+def calibrate_scales(variables: Dict, cfg: EncoderConfig, x_calib: jnp.ndarray,
+                     headroom: float = 1.0) -> List[jnp.ndarray]:
+    """Per-channel int8 scales for each block's INPUT activation (blocks 1+).
+
+    Runs the bf16 reference forward on ``x_calib`` (any representative
+    batch; synthetic works — scales track the BN-stabilized dynamic range,
+    not speaker content) and records max-abs per channel of every pooled
+    block output. Returns ``scales[i]`` = scale of block ``i+1``'s input,
+    ``len == n_blocks - 1``.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    cdt = _DTYPES[cfg.compute_dtype]
+    h = x_calib
+    scales = []
+    for i in range(len(cfg.filter_multipliers)):
+        h = _xla_block(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
+                       cfg.pool_sizes[i], cfg.dilations[i], cfg.bn_epsilon, cdt)
+        if i < len(cfg.filter_multipliers) - 1:
+            amax = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
+            scales.append(jnp.maximum(amax * headroom, 1e-8) / 127.0)
+    return [jax.device_get(s) for s in scales]
+
+
+def quantize_encoder(variables: Dict, cfg: EncoderConfig,
+                     x_calib: jnp.ndarray) -> Dict:
+    """Fold + quantize blocks 1+ of a trained encoder for int8 serving.
+
+    Returns a qvars dict consumed by :func:`quant_embed`; the original
+    ``variables`` stay authoritative for block 0 and the Dense head.
+    """
+    n = len(cfg.filter_multipliers)
+    if n < 2:
+        raise ValueError("quantized path needs at least 2 conv blocks")
+    scales = calibrate_scales(variables, cfg, x_calib)
+    params, stats = variables["params"], variables["batch_stats"]
+    blocks = []
+    for i in range(1, n):
+        blk = params[f"block_{i}"]
+        bst = stats[f"block_{i}"]["bn"]
+        w = blk["conv"]["kernel"].astype(jnp.float32)  # (k, Cin, Cout)
+        b = blk["conv"]["bias"].astype(jnp.float32)
+        s_in = jnp.asarray(scales[i - 1], jnp.float32)  # (Cin,)
+        w_f = w * s_in[None, :, None]
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_f), axis=(0, 1)), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w_f / s_w[None, None, :]), -127, 127
+                       ).astype(jnp.int8)
+        g, h = _bn_affine(blk, bst, cfg.bn_epsilon)
+        beta = b / s_w
+        if i < n - 1:
+            s_out = jnp.asarray(scales[i], jnp.float32)
+            alpha = s_w * g / s_out
+            gamma = h / s_out
+        else:  # last block dequantizes: z = (s_w·g)·relu(acc+beta) + h
+            alpha = s_w * g
+            gamma = h
+        blocks.append({"w_q": w_q, "alpha": alpha, "beta": beta,
+                       "gamma": gamma})
+    return {"s0": jnp.asarray(scales[0], jnp.float32), "blocks": blocks}
+
+
+def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype):
+    acc = jax.lax.conv_general_dilated(
+        x_q, qblk["w_q"], (1,), "SAME", rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )
+    z = (jax.nn.relu(acc.astype(jnp.float32) + qblk["beta"]) * qblk["alpha"]
+         + qblk["gamma"])
+    if last:
+        y = z.astype(out_dtype)
+    else:
+        y = jnp.clip(jnp.round(z), -127, 127).astype(jnp.int8)
+    if pool > 1:
+        B, T, C = y.shape
+        t_full = (T // pool) * pool  # nn.max_pool VALID: drop the remainder
+        y = y[:, :t_full].reshape(B, T // pool, pool, C).max(axis=2)
+    return y
+
+
+def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
+                x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, 1) float32 → (B, embedding_dim) float32, int8 blocks 1+.
+
+    Mirrors ``fast_infer.fast_embed``: block 0 runs the fused Pallas kernel
+    (bf16) when eligible, else the XLA block; blocks 1+ run s8×s8→s32 convs
+    with fused requantizing epilogues.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    cdt = _DTYPES[cfg.compute_dtype]
+    if block0_pallas_eligible(cfg, x):
+        from ..ops.pallas_conv import pallas_conv_block0
+
+        blk, bst = params["block_0"], stats["block_0"]["bn"]
+        h = pallas_conv_block0(
+            x, blk["conv"]["kernel"], blk["conv"]["bias"],
+            blk["bn"]["scale"], blk["bn"]["bias"], bst["mean"], bst["var"],
+            cfg.bn_epsilon, pool=cfg.pool_sizes[0], out_dtype=cdt,
+            gemm_dtype=cdt,
+        )
+    else:
+        h = _xla_block(x, params["block_0"], stats["block_0"]["bn"],
+                       cfg.pool_sizes[0], cfg.dilations[0], cfg.bn_epsilon,
+                       cdt)
+    h_q = jnp.clip(jnp.round(h.astype(jnp.float32) / qvars["s0"]),
+                   -127, 127).astype(jnp.int8)
+    n = len(cfg.filter_multipliers)
+    for i in range(1, n):
+        h_q = _quant_block(h_q, qvars["blocks"][i - 1], cfg.pool_sizes[i],
+                           cfg.dilations[i], last=(i == n - 1),
+                           out_dtype=cdt)
+    h = jnp.max(h_q, axis=1)
+    emb = params["embed"]
+    out = h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)
+    return out.astype(jnp.float32)
