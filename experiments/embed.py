@@ -153,19 +153,11 @@ def main():
     if args.int8:
         if args.mode == "melspec2d":
             raise SystemExit("--int8 supports raw-waveform encoders only")
-        import jax
-        import jax.numpy as jnp
+        from voicemap_tpu.models.quant_infer import quantize_from_store
 
-        from voicemap_tpu.models.quant_infer import quantize_encoder
-        from voicemap_tpu.train.steps import fetch_batch
-
-        n_cal = min(args.batch_size, int(store.labels.shape[0]))
-        x_cal = fetch_batch(store, jnp.arange(n_cal, dtype=jnp.int32),
-                            jax.random.PRNGKey(0), cfg, stochastic=False)
-        enc_vars = {"params": state.params["encoder"],
-                    "batch_stats": state.batch_stats["encoder"]}
-        qvars = quantize_encoder(enc_vars, cfg.encoder, x_cal)
-        print(f"int8 serving path: calibrated on {n_cal} utterances")
+        qvars = quantize_from_store(state, cfg, store, n_cal=args.batch_size)
+        print("int8 serving path: calibrated on the first "
+              f"{min(args.batch_size, int(store.labels.shape[0]))} utterances")
 
     table = np.asarray(
         nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size,

@@ -39,6 +39,11 @@ def parse_args():
     p.add_argument("--max-store-seconds", type=float, default=30.0)
     p.add_argument("--fast", action="store_true",
                    help="embed with the Pallas fused-conv inference forward (TPU)")
+    p.add_argument("--int8", action="store_true",
+                   help="embed through the int8 PTQ serving path (blocks 1+ "
+                        "s8×s8→s32, calibrated on the eval store) — the "
+                        "deployment accuracy-parity run; raw-waveform modes "
+                        "only (see models/quant_infer.py)")
     p.add_argument("--protocol", action="store_true",
                    help="run the frozen EVAL_PROTOCOL.json manifest (pinned "
                         "seeds/subsets/fragments, corpus-identity check, "
@@ -109,6 +114,9 @@ def main():
     else:
         print("WARNING: evaluating an untrained (random-init) model")
 
+    if args.int8 and args.mode == "melspec2d":
+        raise SystemExit("--int8 supports raw-waveform encoders only")
+
     if args.protocol:
         import json
 
@@ -118,6 +126,7 @@ def main():
             model, state, args.data_root, cfg,
             allow_corpus_mismatch=args.allow_corpus_mismatch,
             max_store_seconds=args.max_store_seconds, fast=args.fast,
+            int8=args.int8,
         )
         for r in results:
             print(json.dumps(r))
@@ -126,9 +135,16 @@ def main():
     # Decode + ship the corpus only for the ad-hoc path (run_protocol builds
     # its own per-entry stores with the manifest's pinned fragment settings).
     store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
+    qvars = None
+    if args.int8:
+        from voicemap_tpu.models.quant_infer import quantize_from_store
+
+        qvars = quantize_from_store(state, cfg, store)
+        print("int8 serving path: calibrated on the eval store")
     acc = nshot.evaluate(
         model, state, store, cfg, jax.random.PRNGKey(args.seed),
         num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way, fast=args.fast,
+        qvars=qvars,
     )
     stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / args.num_tasks)
     print(

@@ -87,6 +87,28 @@ def test_protocol_runs_with_mismatch_override(proto_corpus):
         json.dumps(r)  # machine-readable
 
 
+def test_protocol_int8_flag(proto_corpus):
+    """run_protocol(int8=True) calibrates per entry on that entry's store,
+    embeds through the quantized serving path, and tags its results."""
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    m["entries"] = [dict(m["entries"][0], num_tasks=50)]
+    results = protocol.run_protocol(
+        model, state, proto_corpus, cfg, manifest=m,
+        allow_corpus_mismatch=True, max_store_seconds=5.0, int8=True,
+    )
+    assert len(results) == 1
+    assert results[0]["int8"] is True
+    assert 0.0 <= results[0]["accuracy"] <= 1.0
+    # f32 results carry the tag too (false) so runs are distinguishable.
+    r32 = protocol.run_protocol(
+        model, state, proto_corpus, cfg, manifest=m,
+        allow_corpus_mismatch=True, max_store_seconds=5.0,
+    )
+    assert r32[0]["int8"] is False
+    assert abs(r32[0]["accuracy"] - results[0]["accuracy"]) <= 0.10
+
+
 def test_protocol_seed_pinned_reproducible(proto_corpus):
     """Same manifest seeds ⇒ bit-identical accuracy across runs."""
     model, state, cfg = _model_and_cfg(proto_corpus)

@@ -183,6 +183,38 @@ def test_embed_all_int8_path(corpus_root):
         nshot.embed_all(model, state, store, melspec_cfg, qvars=qvars)
 
 
+def test_nshot_evaluate_int8_close_to_f32(corpus_root):
+    """nshot.evaluate(qvars=...) — the deployment accuracy-parity run — stays
+    within a few task-flips of the f32 accuracy on the same pinned tasks."""
+    from voicemap_tpu.config import DataConfig, ExperimentConfig, TrainConfig
+    from voicemap_tpu.data.dataset import SpeakerDataset
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.models.quant_infer import quantize_from_store
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = ExperimentConfig(
+        mode="classifier",
+        data=DataConfig(data_root=corpus_root, subsets=("dev-clean",),
+                        seconds=1.0, downsampling=4, stochastic=False),
+        encoder=EncoderConfig(filters=8, embedding_dim=16, dropout=0.0, **F32),
+        train=TrainConfig(num_eval_tasks=100, n_shot=1, k_way=2),
+    )
+    ds = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                        data_root=corpus_root)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    qvars = quantize_from_store(state, cfg, store, n_cal=16)
+
+    key = jax.random.PRNGKey(3)
+    acc_f32 = nshot.evaluate(model, state, store, cfg, key)
+    acc_int8 = nshot.evaluate(model, state, store, cfg, key, qvars=qvars)
+    # Same task seed → same tasks; cos>0.99 embeddings flip only near-ties.
+    assert abs(acc_int8 - acc_f32) <= 0.10, (acc_f32, acc_int8)
+
+
 def test_quantize_rejects_single_block():
     cfg = EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
                         filter_multipliers=(1,), kernel_sizes=(32,),

@@ -189,8 +189,13 @@ def evaluate(
     k: Optional[int] = None,
     embed_batch: int = 256,
     fast: bool = False,
+    qvars=None,
 ) -> float:
-    """Full n-shot evaluation: embed table once, score all tasks at once."""
+    """Full n-shot evaluation: embed table once, score all tasks at once.
+
+    ``qvars`` (models/quant_infer) embeds through the int8 serving path —
+    the accuracy-parity check for quantized deployment.
+    """
     t = cfg.train
     num_tasks = num_tasks or t.num_eval_tasks
     n = n or t.n_shot
@@ -205,7 +210,8 @@ def evaluate(
             f"n_shot={n} needs ≥{n + 1} utterances per speaker; "
             f"minimum in the eval store is {int(counts.min())}"
         )
-    table = embed_all(model, state, store, cfg, batch_size=embed_batch, fast=fast)
+    table = embed_all(model, state, store, cfg, batch_size=embed_batch,
+                      fast=fast, qvars=qvars)
     # Contrastive training optimizes embedding euclidean distances and never
     # trains the Dense(1) head — scoring with the (random-init) head could
     # even invert rankings, so evaluate by embedding distance instead.

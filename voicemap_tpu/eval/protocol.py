@@ -104,6 +104,7 @@ def run_protocol(
     allow_corpus_mismatch: bool = False,
     max_store_seconds: Optional[float] = None,
     fast: bool = False,
+    int8: bool = False,
 ) -> List[Dict]:
     """Run every manifest entry; returns one result dict per entry.
 
@@ -112,6 +113,10 @@ def run_protocol(
     them). Raises on corpus-identity mismatch unless
     ``allow_corpus_mismatch`` (for synthetic smoke runs, which mark their
     results non-comparable).
+
+    ``int8``: embed through the quantized serving path
+    (models/quant_infer), calibrated per entry on that entry's store — the
+    deployment accuracy-parity run; results carry ``"int8": true``.
     """
     import dataclasses
 
@@ -148,11 +153,16 @@ def run_protocol(
                 + "; ".join(problems)
             )
         store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
+        qvars = None
+        if int8:
+            from ..models.quant_infer import quantize_from_store
+
+            qvars = quantize_from_store(state, cfg, store)
         acc = nshot.evaluate(
             model, state, store, cfg,
             jax.random.PRNGKey(int(manifest["task_seed"])),
             num_tasks=entry["num_tasks"], n=entry["n_shot"],
-            k=entry["k_way"], fast=fast,
+            k=entry["k_way"], fast=fast, qvars=qvars,
         )
         stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / entry["num_tasks"])
         z = float(manifest["acceptance"]["z"])
@@ -175,5 +185,6 @@ def run_protocol(
             "corpus_verified": not problems,
             "corpus_problems": problems,
             "comparable_to_reference": not problems,
+            "int8": int8,
         })
     return results

@@ -120,6 +120,24 @@ def quantize_encoder(variables: Dict, cfg: EncoderConfig,
     return {"s0": jnp.asarray(scales[0], jnp.float32), "blocks": blocks}
 
 
+def quantize_from_store(state, cfg, store, n_cal: int = 256) -> Dict:
+    """Calibrate + quantize off a device store (CLI convenience).
+
+    Uses the first ``n_cal`` deterministic fragments as the calibration
+    batch — representative by construction (same preprocessing as serving).
+    ``state``: a TrainState with ``params['encoder']``/``batch_stats``;
+    ``cfg``: the full ExperimentConfig.
+    """
+    from ..train.steps import fetch_batch
+
+    n = min(n_cal, int(store.labels.shape[0]))
+    x_cal = fetch_batch(store, jnp.arange(n, dtype=jnp.int32),
+                        jax.random.PRNGKey(0), cfg, stochastic=False)
+    enc_vars = {"params": state.params["encoder"],
+                "batch_stats": state.batch_stats["encoder"]}
+    return quantize_encoder(enc_vars, cfg.encoder, x_cal)
+
+
 def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype):
     acc = jax.lax.conv_general_dilated(
         x_q, qblk["w_q"], (1,), "SAME", rhs_dilation=(dilation,),

@@ -82,7 +82,16 @@ class CheckpointManager:
         step = mgr.latest_step()
         if step is None:
             return None
-        return mgr.item_metadata(step)
+        # item_metadata warns (absl) that the item "could not be restored"
+        # — expected for a metadata-only probe; keep CLI output clean.
+        from absl import logging as absl_logging
+
+        prev = absl_logging.get_verbosity()
+        absl_logging.set_verbosity(absl_logging.ERROR)
+        try:
+            return mgr.item_metadata(step)
+        finally:
+            absl_logging.set_verbosity(prev)
 
     def wait(self):
         self._mgr.wait_until_finished()
