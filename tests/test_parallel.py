@@ -222,6 +222,79 @@ def test_dp_grads_match_shardwise_average(mesh8, dp_store, corpus_root):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
 
 
+def test_dp_streaming_step_matches_host_shards(mesh8, dp_store, corpus_root):
+    """The streaming-pipeline DP step (host batch sharded at the jit
+    boundary) produces exactly the pmean-of-shard update the device-store DP
+    semantics define: compare its post-step params against a host loop over
+    the 8 shards (dropout=0 ⇒ key folding is irrelevant)."""
+    _, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    loss_fn = steps_mod.classifier_loss_fn(model, cfg)
+
+    r = np.random.default_rng(11)
+    frags = r.integers(-2000, 2000,
+                       (16, cfg.data.fragment_length)).astype(np.int16)
+    y = r.integers(0, ds.num_speakers, 16).astype(np.int32)
+    key = jax.random.PRNGKey(2)
+
+    step, tx = data_parallel.make_dp_streaming_classifier_step(
+        model, cfg, mesh8
+    )
+    new_state, m = step(state, jnp.asarray(frags), jnp.asarray(y), key)
+    assert np.isfinite(float(m["loss"]))
+
+    # Host reference: per-2-element-shard grads/metrics, tree-averaged.
+    from voicemap_tpu.train.state import apply_updates
+
+    x_all = steps_mod.preprocess_fragments(jnp.asarray(frags), cfg)
+    shard_g, shard_bs, shard_loss = [], [], []
+    for i in range(8):
+        sl = slice(2 * i, 2 * i + 2)
+        (loss, (bs_i, _)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x_all[sl],
+            jnp.asarray(y[sl]), key,
+        )
+        shard_g.append(g)
+        shard_bs.append(bs_i)
+        shard_loss.append(float(loss))
+    g_avg = jax.tree.map(lambda *t: jnp.mean(jnp.stack(t), 0), *shard_g)
+    bs_avg = jax.tree.map(lambda *t: jnp.mean(jnp.stack(t), 0), *shard_bs)
+    expect = apply_updates(state, g_avg, tx, bs_avg)
+
+    np.testing.assert_allclose(float(m["loss"]), np.mean(shard_loss),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(expect.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_dp_streaming_siamese_step(mesh8, dp_store, corpus_root):
+    """Siamese streaming DP step: sharded pair batch trains and returns a
+    replicated state."""
+    _, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "siamese")
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    state = init_model_state(model, cfg)
+    step, _ = data_parallel.make_dp_streaming_siamese_step(model, cfg, mesh8)
+
+    r = np.random.default_rng(12)
+    F = cfg.data.fragment_length
+    f1 = jnp.asarray(r.integers(-2000, 2000, (16, F)).astype(np.int16))
+    f2 = jnp.asarray(r.integers(-2000, 2000, (16, F)).astype(np.int16))
+    yv = jnp.asarray(np.concatenate([np.zeros(8), np.ones(8)]).astype(np.float32))
+    losses = []
+    for s in range(10):
+        state, m = step(state, f1, f2, yv, jax.random.PRNGKey(s))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], "siamese DP streaming loss flat"
+    p = state.params["encoder"]["block_0"]["conv"]["kernel"]
+    assert p.sharding.is_fully_replicated
+
+
 # ---------------------------------------------------------------------------
 # 2-D data × seq parallelism (DP psum-grads × halo-exchange SP)
 # ---------------------------------------------------------------------------

@@ -36,7 +36,8 @@ def small_cfg(corpus_root, mode, **train_kw):
             filters=8, embedding_dim=16, dropout=0.0, compute_dtype="float32"
         ),
         siamese=SiameseConfig(),
-        train=TrainConfig(batch_size=16, learning_rate=3e-3, **train_kw),
+        train=TrainConfig(**{"batch_size": 16, "learning_rate": 3e-3,
+                             **train_kw}),
     )
 
 
@@ -440,11 +441,23 @@ def test_checkpoint_head_metadata(store_and_root, tmp_path):
     assert empty.head_num_classes("best") is None
 
 
-def test_fit_dp_on_requires_device_pipeline(corpus_root):
-    """An explicit dp='on' must fail loudly when the pipeline cannot be
-    data-parallel, not silently train single-device."""
+def test_fit_dp_streaming(corpus_root):
+    """dp='on' with the streaming pipeline trains data-parallel over the
+    faked 8-device mesh: each host batch is sharded over the mesh at the
+    jit boundary (the >HBM-corpus multi-chip combination)."""
     from voicemap_tpu.train.loop import fit
 
-    cfg = small_cfg(corpus_root, "classifier", num_steps=1)
+    cfg = small_cfg(corpus_root, "classifier", num_steps=4)
+    state, history = fit(cfg, verbose=False, pipeline="streaming", dp="on")
+    assert int(state.step) == 4
+    assert np.isfinite(history[-1]["loss"])
+    assert 0.0 <= history[-1]["val_1-shot_acc"] <= 1.0
+
+
+def test_fit_dp_on_rejects_indivisible_batch(corpus_root):
+    """An explicit dp='on' must fail loudly when the batch cannot shard."""
+    from voicemap_tpu.train.loop import fit
+
+    cfg = small_cfg(corpus_root, "classifier", num_steps=1, batch_size=9)
     with pytest.raises(ValueError, match="dp='on'"):
         fit(cfg, verbose=False, pipeline="streaming", dp="on")

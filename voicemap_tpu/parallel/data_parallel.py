@@ -76,6 +76,102 @@ def make_dp_classifier_train_step(
     return step, tx
 
 
+def make_dp_streaming_classifier_step(
+    model, cfg: ExperimentConfig, mesh: Mesh, axis: str = "data"
+) -> Tuple[Callable, Any]:
+    """DP train step over HOST-STREAMED batches (corpora too large for HBM).
+
+    (state, fragments (B, frag) int16, labels (B,), key) → (state, metrics):
+    the host batch is sharded over ``axis`` on its batch dimension at the
+    jit boundary (the H2D transfer itself splits across devices), each
+    device preprocesses + differentiates its local shard, and grads/metrics/
+    BN stats are pmean'd exactly like the device-store DP step. Composes the
+    streaming pipeline (data/pipeline.py) with multi-chip training — a
+    combination the reference's ``fit_generator`` never had.
+    """
+    tx = make_optimizer(cfg.train.clipnorm)
+    n_dev = mesh.shape[axis]
+    if cfg.train.batch_size % n_dev:
+        raise ValueError(
+            f"data-axis size {n_dev} must divide the global batch "
+            f"{cfg.train.batch_size}"
+        )
+    loss_fn = steps_mod.classifier_loss_fn(model, cfg)
+
+    def device_step(state: TrainState, frags, y, key):
+        k_drop = jax.random.fold_in(
+            jax.random.fold_in(key, state.step), jax.lax.axis_index(axis)
+        )
+        x = steps_mod.preprocess_fragments(frags, cfg)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x, y, k_drop
+        )
+        grads = _pmean_tree(grads, axis)
+        new_bs = _pmean_tree(new_bs, axis)
+        loss = jax.lax.pmean(loss, axis)
+        acc = jax.lax.pmean(acc, axis)
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    step = jax.jit(
+        jax.shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return step, tx
+
+
+def make_dp_streaming_siamese_step(
+    model, cfg: ExperimentConfig, mesh: Mesh, axis: str = "data"
+) -> Tuple[Callable, Any]:
+    """DP siamese step over host-streamed pair fragments.
+
+    (state, f1, f2, labels, key), pair batch sharded over ``axis``. The
+    pipeline's half-alike/half-differing layout is order-independent under
+    sharding (every shard sees a contiguous slice; the loss is a mean), so
+    no reshuffle is needed.
+    """
+    tx = make_optimizer(cfg.train.clipnorm)
+    n_dev = mesh.shape[axis]
+    if cfg.train.batch_size % n_dev:
+        raise ValueError(
+            f"data-axis size {n_dev} must divide the global batch "
+            f"{cfg.train.batch_size}"
+        )
+    loss_fn = steps_mod.siamese_loss_fn(model, cfg)
+
+    def device_step(state: TrainState, f1, f2, y, key):
+        k_drop = jax.random.fold_in(
+            jax.random.fold_in(key, state.step), jax.lax.axis_index(axis)
+        )
+        x1 = steps_mod.preprocess_fragments(f1, cfg)
+        x2 = steps_mod.preprocess_fragments(f2, cfg)
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, x1, x2, y, k_drop
+        )
+        grads = _pmean_tree(grads, axis)
+        new_bs = _pmean_tree(new_bs, axis)
+        loss = jax.lax.pmean(loss, axis)
+        acc = jax.lax.pmean(acc, axis)
+        new_state = apply_updates(state, grads, tx, new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    step = jax.jit(
+        jax.shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return step, tx
+
+
 def make_dp_siamese_train_step(
     model, cfg: ExperimentConfig, mesh: Mesh, axis: str = "data"
 ) -> Tuple[Callable, Any]:

@@ -76,9 +76,12 @@ def fit(
 
     ``dp``: data-parallel training over every attached device
     (parallel/data_parallel.py — shard_map, psum grads, cross-replica BN;
-    the global batch is ``cfg.train.batch_size``). ``'auto'`` turns it on
-    for a multi-device TPU backend with the device pipeline; ``'on'``
-    forces it (e.g. on the faked CPU mesh); ``'off'`` stays single-device.
+    the global batch is ``cfg.train.batch_size``). Works with BOTH
+    pipelines: the device pipeline samples per-device sub-batches on
+    device; the streaming pipeline shards each host batch over the mesh at
+    the jit boundary. ``'auto'`` turns it on for a multi-device TPU
+    backend; ``'on'`` forces it (e.g. on the faked CPU mesh); ``'off'``
+    stays single-device.
     """
     t = cfg.train
     train_ds = dataset_from_config(cfg.data)
@@ -91,15 +94,8 @@ def fit(
         if verbose:
             print(f"pipeline=auto → {pipeline} (est. store {est / 1e9:.2f} GB)")
 
-    # An explicit dp='on' must not be silently ignored — fail/warn up front,
+    # An explicit dp='on' must not be silently ignored — warn up front,
     # before any corpus decode (code-review finding, round 3).
-    if dp == "on" and pipeline != "device":
-        raise ValueError(
-            "dp='on' requires the device-resident pipeline, but this run "
-            f"resolved pipeline={pipeline!r} (corpus exceeds "
-            "streaming_threshold_bytes?); DP over the streaming pipeline "
-            "is not implemented — pass dp='auto' to proceed single-device"
-        )
     if dp == "on" and jax.device_count() == 1:
         import warnings
 
@@ -151,7 +147,7 @@ def fit(
     model = build_model(cfg, num_classes=train_ds.num_classes())
     state = init_model_state(model, cfg)
     n_dev = jax.device_count()
-    use_dp = pipeline == "device" and n_dev > 1 and (
+    use_dp = n_dev > 1 and (
         dp == "on" or (dp == "auto" and jax.default_backend() == "tpu")
     )
     if use_dp and t.batch_size % n_dev:
@@ -167,8 +163,18 @@ def fit(
         mesh = mesh_mod.data_mesh(n_dev)
         if verbose:
             print(f"data-parallel over {n_dev} devices "
-                  f"(local batch {t.batch_size // n_dev})")
-        if cfg.mode == "siamese":
+                  f"(local batch {t.batch_size // n_dev}, "
+                  f"{pipeline} pipeline)")
+        if pipeline == "streaming":
+            if cfg.mode == "siamese":
+                step, _tx = data_parallel.make_dp_streaming_siamese_step(
+                    model, cfg, mesh
+                )
+            else:
+                step, _tx = data_parallel.make_dp_streaming_classifier_step(
+                    model, cfg, mesh
+                )
+        elif cfg.mode == "siamese":
             step, _tx = data_parallel.make_dp_siamese_train_step(
                 model, cfg, mesh
             )
