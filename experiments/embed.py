@@ -42,6 +42,12 @@ def parse_args():
                    help="serve blocks 1+ of the encoder int8-quantized "
                         "(post-training, calibrated on the first batch; "
                         "raw-waveform modes only — see models/quant_infer.py)")
+    p.add_argument("--save-qvars", default=None, metavar="PATH",
+                   help="persist the calibrated int8 artifact (.npz) for "
+                        "calibration-free serving (implies --int8)")
+    p.add_argument("--qvars", default=None, metavar="PATH",
+                   help="load a saved int8 artifact instead of calibrating "
+                        "(implies --int8)")
     return p.parse_args()
 
 
@@ -150,14 +156,25 @@ def main():
         print("WARNING: embedding with an untrained (random-init) model")
 
     qvars = None
-    if args.int8:
+    if args.int8 or args.qvars or args.save_qvars:
         if args.mode == "melspec2d":
             raise SystemExit("--int8 supports raw-waveform encoders only")
-        from voicemap_tpu.models.quant_infer import quantize_from_store
+        from voicemap_tpu.models.quant_infer import (
+            load_qvars, quantize_from_store, save_qvars,
+        )
 
-        qvars = quantize_from_store(state, cfg, store, n_cal=args.batch_size)
-        print("int8 serving path: calibrated on the first "
-              f"{min(args.batch_size, int(store.labels.shape[0]))} utterances")
+        if args.qvars:
+            qvars = load_qvars(args.qvars)
+            print(f"int8 serving path: loaded artifact {args.qvars}")
+        else:
+            qvars = quantize_from_store(state, cfg, store,
+                                        n_cal=args.batch_size)
+            print("int8 serving path: calibrated on the first "
+                  f"{min(args.batch_size, int(store.labels.shape[0]))} "
+                  "utterances")
+        if args.save_qvars:
+            save_qvars(args.save_qvars, qvars)
+            print(f"wrote int8 artifact {args.save_qvars}")
 
     table = np.asarray(
         nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size,

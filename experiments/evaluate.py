@@ -44,6 +44,11 @@ def parse_args():
                         "s8×s8→s32, calibrated on the eval store) — the "
                         "deployment accuracy-parity run; raw-waveform modes "
                         "only (see models/quant_infer.py)")
+    p.add_argument("--qvars", default=None, metavar="PATH",
+                   help="load a saved int8 artifact (experiments/embed.py "
+                        "--save-qvars) instead of calibrating; evaluates the "
+                        "EXACT deployed quantization (implies --int8; ad-hoc "
+                        "path only, not --protocol)")
     p.add_argument("--protocol", action="store_true",
                    help="run the frozen EVAL_PROTOCOL.json manifest (pinned "
                         "seeds/subsets/fragments, corpus-identity check, "
@@ -114,8 +119,13 @@ def main():
     else:
         print("WARNING: evaluating an untrained (random-init) model")
 
-    if args.int8 and args.mode == "melspec2d":
+    if (args.int8 or args.qvars) and args.mode == "melspec2d":
         raise SystemExit("--int8 supports raw-waveform encoders only")
+    if args.qvars and args.protocol:
+        raise SystemExit(
+            "--qvars is for the ad-hoc path; --protocol --int8 calibrates "
+            "per manifest entry on that entry's store"
+        )
 
     if args.protocol:
         import json
@@ -136,7 +146,12 @@ def main():
     # its own per-entry stores with the manifest's pinned fragment settings).
     store = steps_mod.device_store_for(cfg, ds.to_store(args.max_store_seconds))
     qvars = None
-    if args.int8:
+    if args.qvars:
+        from voicemap_tpu.models.quant_infer import load_qvars
+
+        qvars = load_qvars(args.qvars)
+        print(f"int8 serving path: loaded artifact {args.qvars}")
+    elif args.int8:
         from voicemap_tpu.models.quant_infer import quantize_from_store
 
         qvars = quantize_from_store(state, cfg, store)

@@ -215,6 +215,29 @@ def test_nshot_evaluate_int8_close_to_f32(corpus_root):
     assert abs(acc_int8 - acc_f32) <= 0.10, (acc_f32, acc_int8)
 
 
+def test_qvars_save_load_roundtrip(tmp_path):
+    """The .npz serving artifact reproduces the in-memory quantization
+    bit-exactly (int8 weights and f32 epilogue vectors identical, so the
+    deployed embeddings are identical too)."""
+    from voicemap_tpu.models.quant_infer import load_qvars, save_qvars
+
+    cfg = EncoderConfig(filters=16, embedding_dim=32, dropout=0.0, **F32)
+    _, variables, x = _make(cfg, seed=7)
+    qvars = quantize_encoder(variables, cfg, x)
+    path = str(tmp_path / "enc_int8.npz")
+    save_qvars(path, qvars)
+    loaded = load_qvars(path)
+    assert loaded["blocks"][0]["w_q"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(loaded["s0"]),
+                                  np.asarray(qvars["s0"]))
+    for a, b in zip(loaded["blocks"], qvars["blocks"]):
+        for k in ("w_q", "alpha", "beta", "gamma"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    out_mem = quant_embed(variables, qvars, cfg, x)
+    out_load = quant_embed(variables, loaded, cfg, x)
+    np.testing.assert_array_equal(np.asarray(out_mem), np.asarray(out_load))
+
+
 def test_quantize_rejects_single_block():
     cfg = EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
                         filter_multipliers=(1,), kernel_sizes=(32,),
