@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--out", default="embeddings.npz")
     p.add_argument("--max-store-seconds", type=float, default=30.0)
+    p.add_argument("--pipeline", default="auto",
+                   choices=["auto", "device", "streaming"],
+                   help="device = ship the corpus to HBM once (fastest); "
+                        "streaming = corpus-order batches decoded on the "
+                        "host, for corpora larger than HBM; auto picks by "
+                        "estimated store size")
     p.add_argument("--int8", action="store_true",
                    help="serve blocks 1+ of the encoder int8-quantized "
                         "(post-training, calibrated on the first batch; "
@@ -116,18 +122,32 @@ def main():
             compute_dtype=args.compute_dtype,
         ),
     )
+    ds = None
     if args.subsets:
         from voicemap_tpu.data.dataset import dataset_from_config
 
-        ds = dataset_from_config(cfg.data)
-        host = ds.to_store(args.max_store_seconds)
+        ds = dataset_from_config(cfg.data)  # index only — decode depends on pipeline
         paths = [os.path.join(args.data_root, f) for f in ds.df.filepath]
         num_classes = ds.num_classes()
+        pipeline = args.pipeline
+        if pipeline == "auto":
+            cap = args.max_store_seconds or float(ds.df.seconds.max())
+            est = int(np.minimum(
+                ds.df.samples.values, cap * cfg.data.sample_rate
+            ).max()) * len(ds.df) * 2
+            pipeline = "streaming" if est > (4 << 30) else "device"
+            if pipeline == "streaming":
+                print(f"pipeline=auto → streaming (est. store {est/1e9:.2f} GB)")
     else:
-        host = _store_from_files(args.files, cfg)
+        pipeline = "device"  # explicit files: always small enough
         paths = list(args.files)
         num_classes = 2  # head size is irrelevant for embeddings
-    store = steps_mod.device_store_for(cfg, host)
+
+    store = None
+    if pipeline == "device":
+        host = (ds.to_store(args.max_store_seconds) if ds is not None
+                else _store_from_files(args.files, cfg))
+        store = steps_mod.device_store_for(cfg, host)
 
     mgr = None
     if args.checkpoint_dir:
@@ -166,20 +186,34 @@ def main():
         if args.qvars:
             qvars = load_qvars(args.qvars)
             print(f"int8 serving path: loaded artifact {args.qvars}")
-        else:
+        elif store is not None:
             qvars = quantize_from_store(state, cfg, store,
                                         n_cal=args.batch_size)
             print("int8 serving path: calibrated on the first "
                   f"{min(args.batch_size, int(store.labels.shape[0]))} "
                   "utterances")
+        else:  # streaming: calibrate on the first corpus-order batch
+            from voicemap_tpu.data.pipeline import iter_embed_batches
+            from voicemap_tpu.models.quant_infer import quantize_from_frags
+
+            frags, count = next(iter_embed_batches(ds, cfg, args.batch_size))
+            qvars = quantize_from_frags(state, cfg, frags[:count])
+            print(f"int8 serving path: calibrated on the first {count} "
+                  "utterances (streamed)")
         if args.save_qvars:
             save_qvars(args.save_qvars, qvars)
             print(f"wrote int8 artifact {args.save_qvars}")
 
-    table = np.asarray(
-        nshot.embed_all(model, state, store, cfg, batch_size=args.batch_size,
-                        qvars=qvars)
-    )
+    if store is not None:
+        table = np.asarray(
+            nshot.embed_all(model, state, store, cfg,
+                            batch_size=args.batch_size, qvars=qvars)
+        )
+    else:
+        table = np.asarray(
+            nshot.embed_all_streaming(model, state, cfg, ds,
+                                      batch_size=args.batch_size, qvars=qvars)
+        )
     np.savez(args.out, embeddings=table, paths=np.asarray(paths))
     print(f"wrote {args.out}: embeddings {table.shape}, {len(paths)} files")
 

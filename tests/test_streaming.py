@@ -157,3 +157,86 @@ def test_cut_pads_short_file_with_pad(corpus_root, ds):
         assert frags.shape == (8, cfg.data.fragment_length)
     finally:
         p.close()
+
+
+def test_iter_embed_batches_order_and_padding(corpus_root, ds):
+    """Corpus-order coverage: every utterance exactly once, in id order,
+    with the final partial batch zero-padded and its valid count right."""
+    from voicemap_tpu.data.pipeline import iter_embed_batches
+
+    cfg = _cfg(corpus_root)
+    B = 7  # deliberately does not divide the corpus size
+    N = len(ds.df)
+    seen = 0
+    frag = cfg.data.fragment_length
+    for frags, count in iter_embed_batches(ds, cfg, B):
+        assert frags.shape == (B, frag)
+        assert frags.dtype == np.int16
+        expect_count = min(B, N - seen)
+        assert count == expect_count
+        # Rows match the decoded waveform's offset-0 fragment.
+        for j in range(count):
+            wav = ds._decode(seen + j)
+            np.testing.assert_array_equal(frags[j], wav[:frag])
+        if count < B:
+            assert not frags[count:].any()
+        seen += count
+    assert seen == N
+
+
+def test_embed_all_streaming_matches_device(corpus_root, ds):
+    """The streaming embedding table equals the device-store table
+    row-for-row (both embed deterministic offset-0 fragments)."""
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = _cfg(corpus_root)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+
+    t_dev = np.asarray(nshot.embed_all(model, state, store, cfg, batch_size=16))
+    t_str = np.asarray(
+        nshot.embed_all_streaming(model, state, cfg, ds, batch_size=16)
+    )
+    assert t_str.shape == t_dev.shape
+    np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)
+
+
+def test_embed_all_streaming_int8_matches_device(corpus_root, ds):
+    """Streaming + int8: the frag-calibrated qvars equal the store-calibrated
+    ones (same deterministic calibration batch) and the tables agree."""
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.models.quant_infer import (
+        quantize_from_frags, quantize_from_store,
+    )
+    from voicemap_tpu.data.pipeline import iter_embed_batches
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = _cfg(corpus_root)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+
+    n_cal = 16
+    frags, count = next(iter_embed_batches(ds, cfg, n_cal))
+    q_frag = quantize_from_frags(state, cfg, frags[:count])
+    q_store = quantize_from_store(state, cfg, store, n_cal=n_cal)
+    np.testing.assert_allclose(np.asarray(q_frag["s0"]),
+                               np.asarray(q_store["s0"]), rtol=1e-6)
+    for a, b in zip(q_frag["blocks"], q_store["blocks"]):
+        np.testing.assert_array_equal(np.asarray(a["w_q"]),
+                                      np.asarray(b["w_q"]))
+
+    t_dev = np.asarray(
+        nshot.embed_all(model, state, store, cfg, batch_size=16, qvars=q_store)
+    )
+    t_str = np.asarray(
+        nshot.embed_all_streaming(model, state, cfg, ds, batch_size=16,
+                                  qvars=q_frag)
+    )
+    np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)

@@ -87,6 +87,69 @@ class DecodeCache:
 Batch = Tuple[np.ndarray, ...]
 
 
+def _cut_deterministic(wavs: list, frag: int, pad: bool) -> np.ndarray:
+    """Offset-0 fragments (the eval protocol's stochastic=False semantics)."""
+    out = np.zeros((len(wavs), frag), dtype=np.int16)
+    for i, wav in enumerate(wavs):
+        if len(wav) >= frag:
+            out[i] = wav[:frag]
+        elif pad:
+            out[i, : len(wav)] = wav
+        else:
+            raise ValueError(
+                f"file shorter than fragment ({len(wav)} < {frag}) with "
+                "pad=False; enable DataConfig.pad or drop short files"
+            )
+    return out
+
+
+def iter_embed_batches(
+    dataset: SpeakerDataset,
+    cfg: ExperimentConfig,
+    batch_size: int,
+    depth: int = 2,
+    cache_bytes: int = 1 << 30,
+) -> Iterator[Tuple[np.ndarray, int]]:
+    """Deterministic corpus-order fragment batches for streaming embedding.
+
+    The serving path for corpora whose int16 store exceeds HBM: yields
+    ``(frags (B, frag) int16, valid_count)`` in dataset-id order (= store
+    row order, so tables align row-for-row with the device-store path);
+    the final batch is zero-padded with ``valid_count < B``. Decode rides
+    the C++ threaded batch decoder; a producer thread overlaps host decode
+    with device compute.
+    """
+    frag = cfg.data.fragment_length
+    ids = np.asarray(dataset.df.id.values)
+    cache = DecodeCache(dataset, cache_bytes)
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def produce():
+        try:
+            for s in range(0, len(ids), batch_size):
+                chunk = ids[s : s + batch_size]
+                frags = _cut_deterministic(
+                    cache.get_many(chunk), frag, cfg.data.pad
+                )
+                if len(chunk) < batch_size:
+                    padded = np.zeros((batch_size, frag), np.int16)
+                    padded[: len(chunk)] = frags
+                    frags = padded
+                q.put((frags, len(chunk)))
+            q.put(None)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise RuntimeError("streaming embed producer failed") from item
+        yield item
+
+
 class StreamingPipeline:
     """Producer-thread pipeline yielding ready-to-device int16 batches.
 

@@ -111,6 +111,71 @@ def embed_all(
     return jnp.concatenate(chunks, axis=0)[:N]
 
 
+def _embed_frags_fn(model, cfg: ExperimentConfig, fast: bool, qvars):
+    """Chunk embedder over host-cut int16 fragments (streaming serving path):
+    device work = decimate→whiten→encode; same model dispatch as
+    `_embed_chunk_fn`/`_quant_embed_chunk_fn`."""
+    from ..train.steps import preprocess_fragments
+
+    if qvars is not None:
+        from ..models.quant_infer import quant_embed
+
+        @jax.jit
+        def embed_chunk(st: TrainState, frags: jnp.ndarray):
+            x = preprocess_fragments(frags, cfg)
+            enc_vars = {
+                "params": st.params["encoder"],
+                "batch_stats": st.batch_stats["encoder"],
+            }
+            return quant_embed(enc_vars, qvars, cfg.encoder, x)
+
+        return embed_chunk
+
+    @jax.jit
+    def embed_chunk(st: TrainState, frags: jnp.ndarray):
+        x = preprocess_fragments(frags, cfg)
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        if fast and cfg.mode in ("classifier", "siamese"):
+            from ..models.fast_infer import fast_embed
+
+            enc_vars = {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            }
+            return fast_embed(enc_vars, cfg.encoder, x)
+        return model.apply(variables, x, train=False, method=model.embed)
+
+    return embed_chunk
+
+
+def embed_all_streaming(
+    model,
+    state: TrainState,
+    cfg: ExperimentConfig,
+    dataset,
+    batch_size: int = 256,
+    fast: bool = False,
+    qvars=None,
+) -> jnp.ndarray:
+    """(N, D) embedding table streamed from disk in corpus order.
+
+    The serving path for corpora whose int16 store exceeds HBM (the
+    device-store `embed_all` ships the whole corpus to the chip first):
+    threaded FLAC decode overlaps device compute, rows align with the
+    device-store table (both embed deterministic offset-0 fragments).
+    """
+    if qvars is not None and cfg.mode not in ("classifier", "siamese"):
+        raise ValueError("int8 path supports raw-waveform encoders only")
+    from ..data.pipeline import iter_embed_batches
+
+    embed_chunk = _embed_frags_fn(model, cfg, fast, qvars)
+    chunks = []
+    for frags, count in iter_embed_batches(dataset, cfg, batch_size):
+        emb = embed_chunk(state, jnp.asarray(frags))
+        chunks.append(np.asarray(emb[:count]))
+    return jnp.asarray(np.concatenate(chunks, axis=0))
+
+
 @partial(jax.jit, static_argnames=("num_tasks", "n", "k"))
 def classifier_nshot_accuracy(
     table: jnp.ndarray,

@@ -138,6 +138,17 @@ def quantize_from_store(state, cfg, store, n_cal: int = 256) -> Dict:
     return quantize_encoder(enc_vars, cfg.encoder, x_cal)
 
 
+def quantize_from_frags(state, cfg, frags) -> Dict:
+    """Calibrate + quantize off host-cut int16 fragments (the streaming
+    serving path's calibration batch — see data/pipeline.iter_embed_batches)."""
+    from ..train.steps import preprocess_fragments
+
+    x_cal = preprocess_fragments(jnp.asarray(frags), cfg)
+    enc_vars = {"params": state.params["encoder"],
+                "batch_stats": state.batch_stats["encoder"]}
+    return quantize_encoder(enc_vars, cfg.encoder, x_cal)
+
+
 def save_qvars(path: str, qvars: Dict) -> None:
     """Persist a quantized encoder to one ``.npz`` serving artifact.
 
