@@ -153,9 +153,17 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
 
             x_cal = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
             qvars = quantize_encoder(variables, enc_cfg, x_cal)
-            ref = np.asarray(fast_embed(variables, enc_cfg, x_cal), np.float64)
+            # Fidelity on a batch DISJOINT from the calibration batch
+            # (fresh offsets): calibration scales are the max-abs of their
+            # own batch, so measuring there would hide activation clipping.
+            off_fid = jnp.asarray(
+                rng.integers(0, STORE_T - FRAG, size=(batch_size,),
+                             dtype=np.int32)
+            )
+            x_fid = pallas_gather_whiten(store, indices, off_fid, t_out)[..., None]
+            ref = np.asarray(fast_embed(variables, enc_cfg, x_fid), np.float64)
             out = np.asarray(
-                quant_embed(variables, qvars, enc_cfg, x_cal), np.float64
+                quant_embed(variables, qvars, enc_cfg, x_fid), np.float64
             )
             cos = ((ref * out).sum(-1)
                    / (np.linalg.norm(ref, axis=-1)

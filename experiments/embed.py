@@ -124,21 +124,29 @@ def main():
     )
     ds = None
     if args.subsets:
-        from voicemap_tpu.data.dataset import dataset_from_config
+        from voicemap_tpu.data.dataset import (
+            STREAMING_THRESHOLD_BYTES,
+            dataset_from_config,
+            estimate_store_bytes,
+        )
 
         ds = dataset_from_config(cfg.data)  # index only — decode depends on pipeline
         paths = [os.path.join(args.data_root, f) for f in ds.df.filepath]
         num_classes = ds.num_classes()
         pipeline = args.pipeline
         if pipeline == "auto":
-            cap = args.max_store_seconds or float(ds.df.seconds.max())
-            est = int(np.minimum(
-                ds.df.samples.values, cap * cfg.data.sample_rate
-            ).max()) * len(ds.df) * 2
-            pipeline = "streaming" if est > (4 << 30) else "device"
+            est = estimate_store_bytes(ds, args.max_store_seconds,
+                                       cfg.data.sample_rate)
+            pipeline = ("streaming" if est > STREAMING_THRESHOLD_BYTES
+                        else "device")
             if pipeline == "streaming":
                 print(f"pipeline=auto → streaming (est. store {est/1e9:.2f} GB)")
     else:
+        if args.pipeline == "streaming":
+            raise SystemExit(
+                "--pipeline streaming needs --subsets (explicit files build "
+                "an in-memory store and always embed device-resident)"
+            )
         pipeline = "device"  # explicit files: always small enough
         paths = list(args.files)
         num_classes = 2  # head size is irrelevant for embeddings
@@ -154,14 +162,7 @@ def main():
         from voicemap_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
-        # Size the classifier head to the CHECKPOINT, not to the embedding
-        # corpus (orbax StandardRestore needs a shape-matching template;
-        # the corpus being embedded has no bearing on the trained head).
-        ckpt_classes = mgr.head_num_classes(args.which)
-        if ckpt_classes is not None and ckpt_classes != num_classes:
-            print(f"sizing head to checkpoint: {ckpt_classes} classes "
-                  f"(embedding corpus has {num_classes})")
-            num_classes = ckpt_classes
+        num_classes = mgr.template_num_classes(args.which, num_classes)
 
     model = build_model(cfg, num_classes=num_classes)
     state = init_model_state(model, cfg)

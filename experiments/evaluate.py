@@ -96,13 +96,7 @@ def main():
         from voicemap_tpu.train.checkpoints import CheckpointManager
 
         mgr = CheckpointManager(args.checkpoint_dir)
-        # The restore template's head must match the CHECKPOINT's class
-        # count, not the eval corpus's (orbax StandardRestore is shape-strict).
-        ckpt_classes = mgr.head_num_classes(args.which)
-        if ckpt_classes is not None and ckpt_classes != num_classes:
-            print(f"sizing head to checkpoint: {ckpt_classes} classes "
-                  f"(eval corpus has {num_classes})")
-            num_classes = ckpt_classes
+        num_classes = mgr.template_num_classes(args.which, num_classes)
 
     model = build_model(cfg, num_classes=num_classes)
     state = init_model_state(model, cfg)

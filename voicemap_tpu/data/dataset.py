@@ -345,6 +345,18 @@ class SpeakerDataset:
         )
 
 
+STREAMING_THRESHOLD_BYTES = 4 << 30  # int16 store size above which to stream
+
+
+def estimate_store_bytes(ds: SpeakerDataset, max_seconds, sample_rate) -> int:
+    """int16 device-store footprint of ``ds.to_store(max_seconds)`` —
+    the pipeline auto-selection estimate shared by fit() and the embed CLI
+    (N × longest capped utterance × 2 bytes; to_store pads to the max)."""
+    cap = max_seconds or float(ds.df.seconds.max())
+    t_store = int(np.minimum(ds.df.samples.values, cap * sample_rate).max())
+    return t_store * len(ds.df) * 2
+
+
 def dataset_from_config(cfg: DataConfig, **kw) -> SpeakerDataset:
     return SpeakerDataset(
         subsets=cfg.subsets,

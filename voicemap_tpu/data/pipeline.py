@@ -123,10 +123,13 @@ def iter_embed_batches(
     ids = np.asarray(dataset.df.id.values)
     cache = DecodeCache(dataset, cache_bytes)
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
 
     def produce():
         try:
             for s in range(0, len(ids), batch_size):
+                if stop.is_set():
+                    return
                 chunk = ids[s : s + batch_size]
                 frags = _cut_deterministic(
                     cache.get_many(chunk), frag, cfg.data.pad
@@ -135,19 +138,37 @@ def iter_embed_batches(
                     padded = np.zeros((batch_size, frag), np.int16)
                     padded[: len(chunk)] = frags
                     frags = padded
-                q.put((frags, len(chunk)))
+                while not stop.is_set():  # bounded put that honors stop
+                    try:
+                        q.put((frags, len(chunk)), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
             q.put(None)
         except BaseException as e:  # surfaced on the consumer side
             q.put(e)
 
-    threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, BaseException):
-            raise RuntimeError("streaming embed producer failed") from item
-        yield item
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise RuntimeError("streaming embed producer failed") from item
+            yield item
+    finally:
+        # Abandoned generators (GeneratorExit) and early exits release the
+        # producer: signal stop, drain so a blocked put wakes, and join —
+        # else the thread pins its DecodeCache for the process lifetime.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5)
 
 
 class StreamingPipeline:
@@ -184,14 +205,12 @@ class StreamingPipeline:
 
     # ------------------------------------------------------------------
     def _cut(self, wavs: list) -> np.ndarray:
+        if not self.cfg.data.stochastic:
+            return _cut_deterministic(wavs, self.frag, self.cfg.data.pad)
         out = np.zeros((len(wavs), self.frag), dtype=np.int16)
         for i, wav in enumerate(wavs):
             if len(wav) >= self.frag:
-                start = (
-                    int(self.rng.integers(0, len(wav) - self.frag + 1))
-                    if self.cfg.data.stochastic
-                    else 0
-                )
+                start = int(self.rng.integers(0, len(wav) - self.frag + 1))
                 out[i] = wav[start : start + self.frag]
             elif self.cfg.data.pad:
                 out[i, : len(wav)] = wav  # zero-pad short files (pad mode)

@@ -56,7 +56,9 @@ def _subset_frame(ds, subset: str):
     df = ds.df
     if "subset" in df.columns:
         return df[df.subset == subset]
-    return df[df.filepath.str.startswith(subset + "/")]
+    # Index filepaths are data_root-relative: "LibriSpeech/<subset>/…"
+    # (data/index.py :: os.path.relpath(fpath, data_root)).
+    return df[df.filepath.str.startswith(f"LibriSpeech/{subset}/")]
 
 
 def check_corpus(

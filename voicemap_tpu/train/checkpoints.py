@@ -119,7 +119,23 @@ class CheckpointManager:
         shape = getattr(node, "shape", None)
         if not shape or len(shape) != 2:
             return None
+        if int(shape[-1]) <= 1:
+            # Siamese verification heads are Dense(1) — width 1 says nothing
+            # about a class count.
+            return None
         return int(shape[-1])
+
+    def template_num_classes(self, which: str, corpus_classes: int) -> int:
+        """The class count a restore template must use: the checkpoint's
+        stored head width when it differs from the corpus's (orbax
+        StandardRestore is shape-strict; the corpus being evaluated or
+        embedded has no bearing on the trained head)."""
+        ckpt_classes = self.head_num_classes(which)
+        if ckpt_classes is not None and ckpt_classes != corpus_classes:
+            print(f"sizing head to checkpoint: {ckpt_classes} classes "
+                  f"(corpus has {corpus_classes})")
+            return ckpt_classes
+        return corpus_classes
 
     def close(self):
         self.wait()

@@ -86,10 +86,10 @@ def fit(
     t = cfg.train
     train_ds = dataset_from_config(cfg.data)
     if pipeline == "auto":
-        cap = max_store_seconds or float(train_ds.df.seconds.max())
-        est = int(
-            np.minimum(train_ds.df.samples.values, cap * cfg.data.sample_rate).max()
-        ) * len(train_ds) * 2
+        from ..data.dataset import estimate_store_bytes
+
+        est = estimate_store_bytes(train_ds, max_store_seconds,
+                                   cfg.data.sample_rate)
         pipeline = "streaming" if est > streaming_threshold_bytes else "device"
         if verbose:
             print(f"pipeline=auto → {pipeline} (est. store {est / 1e9:.2f} GB)")
