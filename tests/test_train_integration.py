@@ -439,6 +439,29 @@ def test_checkpoint_head_metadata(store_and_root, tmp_path):
     # An empty directory yields None (callers fall back to corpus sizing).
     empty = CheckpointManager(str(tmp_path / "ckempty"))
     assert empty.head_num_classes("best") is None
+    # template_num_classes applies the sizing policy in one place.
+    assert mgr.template_num_classes("best", 999) == ds.num_speakers
+    assert empty.template_num_classes("best", 7) == 7
+
+
+def test_checkpoint_head_metadata_siamese(store_and_root, tmp_path):
+    """A siamese Dense(1) verification head must NOT be mistaken for a
+    1-class classifier head: head_num_classes returns None and
+    template_num_classes keeps the corpus sizing."""
+    from voicemap_tpu.models.siamese import SiameseNet
+    from voicemap_tpu.train.checkpoints import CheckpointManager
+
+    store, ds, root = store_and_root
+    cfg = small_cfg(root, "siamese")
+    model = SiameseNet(cfg.encoder, cfg.siamese)
+    T = cfg.data.model_length
+    x = jnp.zeros((1, T, 1))
+    state = _init(model, cfg, (x, x))
+    mgr = CheckpointManager(str(tmp_path / "cksia"))
+    mgr.save(state)
+    mgr.wait()
+    assert mgr.head_num_classes("latest") is None
+    assert mgr.template_num_classes("latest", ds.num_speakers) == ds.num_speakers
 
 
 def test_fit_dp_streaming(corpus_root):
