@@ -65,6 +65,12 @@ def parse_args():
     p.add_argument("--synthetic-speakers", type=int, default=20)
     p.add_argument("--synthetic-utterances", type=int, default=10)
     p.add_argument("--synthetic-container", default="wav", choices=["wav", "flac"])
+    p.add_argument("--pipeline", default="auto",
+                   choices=["auto", "device", "streaming"],
+                   help="device = corpus resident in HBM (fused "
+                        "on-device sampling); streaming = prefetched "
+                        "host pipeline for corpora larger than HBM; "
+                        "auto picks by estimated store size")
     p.add_argument("--dp", default="auto", choices=["auto", "on", "off"],
                    help="data-parallel training over all attached devices "
                         "(auto = on for a multi-device TPU backend)")
@@ -173,10 +179,10 @@ def main():
 
         with jax.profiler.trace(args.profile):
             state, history = fit(cfg, max_store_seconds=args.max_store_seconds,
-                                 dp=args.dp)
+                                 dp=args.dp, pipeline=args.pipeline)
     else:
         state, history = fit(cfg, max_store_seconds=args.max_store_seconds,
-                             dp=args.dp)
+                             dp=args.dp, pipeline=args.pipeline)
     if history:
         print("final:", history[-1])
 
