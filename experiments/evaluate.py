@@ -49,6 +49,10 @@ def parse_args():
                         "--save-qvars) instead of calibrating; evaluates the "
                         "EXACT deployed quantization (implies --int8; ad-hoc "
                         "path only, not --protocol)")
+    p.add_argument("--verification", type=int, default=None, metavar="N",
+                   help="also report threshold-free verification metrics "
+                        "(EER / AUC) over N balanced same/different pairs "
+                        "(siamese scoring policy; any mode embeds)")
     p.add_argument("--protocol", action="store_true",
                    help="run the frozen EVAL_PROTOCOL.json manifest (pinned "
                         "seeds/subsets/fragments, corpus-identity check, "
@@ -160,6 +164,17 @@ def main():
         f"{args.n_shot}-shot {args.k_way}-way accuracy over {args.num_tasks} tasks "
         f"on {args.subsets}: {acc:.4f} ± {stderr:.4f} (1σ)"
     )
+    if args.verification:
+        from voicemap_tpu.eval.verification import evaluate_verification
+
+        v = evaluate_verification(
+            model, state, store, cfg, jax.random.PRNGKey(args.seed + 1),
+            num_pairs=args.verification, fast=args.fast, qvars=qvars,
+        )
+        print(
+            f"verification over {v['num_pairs']} pairs: EER {v['eer']:.4f} "
+            f"(threshold {v['eer_threshold']:.4f}), AUC {v['auc']:.4f}"
+        )
 
 
 if __name__ == "__main__":
