@@ -151,20 +151,31 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
                 quant_embed, quantize_encoder,
             )
 
-            x_cal = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
+            # Calibrate + check fidelity on a 256-row sub-batch (the
+            # quantize_from_store default): full-bench-batch eager forwards
+            # on top of the bench buffers exhaust HBM at B=2048.
+            n_cal = min(256, batch_size)
+            x_cal = pallas_gather_whiten(
+                store[:n_cal], indices[:n_cal], offsets[:n_cal], t_out
+            )[..., None]
             qvars = quantize_encoder(variables, enc_cfg, x_cal)
             # Fidelity on a batch DISJOINT from the calibration batch
             # (fresh offsets): calibration scales are the max-abs of their
             # own batch, so measuring there would hide activation clipping.
             off_fid = jnp.asarray(
-                rng.integers(0, STORE_T - FRAG, size=(batch_size,),
+                rng.integers(0, STORE_T - FRAG, size=(n_cal,),
                              dtype=np.int32)
             )
-            x_fid = pallas_gather_whiten(store, indices, off_fid, t_out)[..., None]
-            ref = np.asarray(fast_embed(variables, enc_cfg, x_fid), np.float64)
+            x_fid = pallas_gather_whiten(
+                store[:n_cal], indices[:n_cal], off_fid, t_out
+            )[..., None]
+            ref = np.asarray(
+                jax.jit(lambda x: fast_embed(variables, enc_cfg, x))(x_fid),
+                np.float64)
             out = np.asarray(
-                quant_embed(variables, qvars, enc_cfg, x_fid), np.float64
-            )
+                jax.jit(lambda x: quant_embed(variables, qvars, enc_cfg, x))(
+                    x_fid),
+                np.float64)
             cos = ((ref * out).sum(-1)
                    / (np.linalg.norm(ref, axis=-1)
                       * np.linalg.norm(out, axis=-1) + 1e-12))

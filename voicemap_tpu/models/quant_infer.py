@@ -72,15 +72,25 @@ def calibrate_scales(variables: Dict, cfg: EncoderConfig, x_calib: jnp.ndarray,
     """
     params, stats = variables["params"], variables["batch_stats"]
     cdt = _DTYPES[cfg.compute_dtype]
-    h = x_calib
-    scales = []
-    for i in range(len(cfg.filter_multipliers)):
-        h = _xla_block(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
-                       cfg.pool_sizes[i], cfg.dilations[i], cfg.bn_epsilon, cdt)
-        if i < len(cfg.filter_multipliers) - 1:
-            amax = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
-            scales.append(jnp.maximum(amax * headroom, 1e-8) / 127.0)
-    return [jax.device_get(s) for s in scales]
+
+    # One jitted program for the whole sweep: eager per-op execution at
+    # serving batch sizes keeps several (B, T, C) intermediates live at once
+    # and OOMs HBM (seen at B=2048 on v5e); under jit XLA fuses each block
+    # and frees activations as soon as the per-channel amax is reduced.
+    @jax.jit
+    def _sweep(x):
+        h = x
+        out = []
+        for i in range(len(cfg.filter_multipliers)):
+            h = _xla_block(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
+                           cfg.pool_sizes[i], cfg.dilations[i],
+                           cfg.bn_epsilon, cdt)
+            if i < len(cfg.filter_multipliers) - 1:
+                amax = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
+                out.append(jnp.maximum(amax * headroom, 1e-8) / 127.0)
+        return out
+
+    return [jax.device_get(s) for s in _sweep(x_calib)]
 
 
 def quantize_encoder(variables: Dict, cfg: EncoderConfig,
