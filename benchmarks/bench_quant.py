@@ -59,14 +59,21 @@ def bench_blocks():
     model, variables, qvars, x = _setup()
     params, stats = variables["params"], variables["batch_stats"]
     # Feed each block its real predecessor activation (bf16 path) and the
-    # int8-requantized version of the same (quant path).
-    h = x
-    acts = []
-    for i in range(len(cfg.filter_multipliers)):
-        acts.append(h)
-        h = _xla_block(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
-                       cfg.pool_sizes[i], cfg.dilations[i], cfg.bn_epsilon,
-                       jnp.bfloat16)
+    # int8-requantized version of the same (quant path). One jitted program
+    # for the sweep — eager per-op forwards at B=2048 OOM HBM (several
+    # (B,T,C) intermediates live at once; same fix as calibrate_scales).
+    @jax.jit
+    def _acts(x):
+        h = x
+        out = []
+        for i in range(len(cfg.filter_multipliers)):
+            out.append(h)
+            h = _xla_block(h, params[f"block_{i}"],
+                           stats[f"block_{i}"]["bn"], cfg.pool_sizes[i],
+                           cfg.dilations[i], cfg.bn_epsilon, jnp.bfloat16)
+        return out
+
+    acts = _acts(x)
 
     for i in range(1, len(cfg.filter_multipliers)):
         a = acts[i]
@@ -78,10 +85,16 @@ def bench_blocks():
             # requantize with the calibrated input scale of this block
             # (alpha of the previous qblock holds it implicitly; recompute
             # from the f32 activation for a self-contained input).
-            amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(0, 1))
-            s_in = jnp.maximum(amax, 1e-8) / 127.0
-        a_q = jnp.clip(jnp.round(a.astype(jnp.float32) / s_in), -127, 127
-                       ).astype(jnp.int8)
+            s_in = jax.jit(
+                lambda a: jnp.maximum(
+                    jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(0, 1)),
+                    1e-8) / 127.0
+            )(a)
+        a_q = jax.jit(
+            lambda a, s: jnp.clip(
+                jnp.round(a.astype(jnp.float32) / s), -127, 127
+            ).astype(jnp.int8)
+        )(a, s_in)
         last = i == len(cfg.filter_multipliers) - 1
 
         def bf16_block(a):
