@@ -110,15 +110,27 @@ def make_model_and_params(compute_dtype: str):
     return model, variables
 
 
+# int8 serves only when its embeddings match bf16 to this min-cosine on a
+# held-out batch (disjoint store rows, fresh offsets); below it, bench falls
+# back to bf16 loudly. 0.999 leaves the n-shot nearest-neighbor decisions
+# bit-identical in every measured run (tests/test_quant_infer.py).
+INT8_FIDELITY_GATE = 0.999
+
+
 def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
-                 use_pallas: bool = True, int8: bool = False) -> dict:
+                 use_pallas: bool = True, int8: str = "auto") -> dict:
     """Fused on-device pipeline throughput on the attached accelerator.
 
     ``use_pallas`` routes preprocessing through the fused Pallas gather+whiten
     kernel over a pre-decimated store (the production fast path — see
-    ops/pallas_preprocess.py); else the jnp/XLA chain. ``int8`` serves blocks
-    1+ of the encoder s8×s8→s32 (models/quant_infer.py, v5e int8 MXU runs at
-    ~2× the bf16 rate); fidelity vs the bf16 path goes to stderr.
+    ops/pallas_preprocess.py); else the jnp/XLA chain.
+
+    ``int8`` ∈ {"auto", "on", "off"}: "auto" (the production default)
+    calibrates blocks 1+ for s8×s8→s32 serving (models/quant_infer.py, v5e
+    int8 MXU runs at ~2× the bf16 rate), checks embedding fidelity vs bf16
+    on a held-out batch, and serves int8 only when min-cosine ≥
+    INT8_FIDELITY_GATE — falling back to bf16 loudly otherwise. "on" forces
+    int8 (still measures fidelity); "off" forces bf16.
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +146,10 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
 
     qvars = None
     fidelity = None
-    if use_pallas and jax.default_backend() == "tpu":
+    gate = None  # "pass" | "fail" | None (int8 not attempted)
+    int8_served = False
+    on_tpu_pallas = use_pallas and jax.default_backend() == "tpu"
+    if on_tpu_pallas:
         from voicemap_tpu.models.fast_infer import fast_embed
         from voicemap_tpu.ops.pallas_preprocess import (
             decimate_store, pallas_gather_whiten,
@@ -146,28 +161,32 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
         indices = jnp.arange(batch_size, dtype=jnp.int32)
         enc_cfg = model.cfg
 
-        if int8:
+        if int8 != "off":
             from voicemap_tpu.models.quant_infer import (
                 quant_embed, quantize_encoder,
             )
 
-            # Calibrate + check fidelity on a 256-row sub-batch (the
-            # quantize_from_store default): full-bench-batch eager forwards
-            # on top of the bench buffers exhaust HBM at B=2048.
-            n_cal = min(256, batch_size)
+            # Calibrate on rows [0, n_cal) and measure fidelity on the
+            # DISJOINT rows [n_cal, 2·n_cal) with fresh offsets: calibration
+            # scales are the max-abs of their own batch, so measuring there
+            # would hide activation clipping. Both offset draws live in the
+            # DECIMATED domain — max valid start is (STORE_T−FRAG)/DS; the
+            # round-3 advisor caught raw-unit fidelity offsets whose window
+            # DMA read out of bounds. 256 rows, not the bench batch:
+            # full-batch eager forwards on top of the bench buffers exhaust
+            # HBM at B=2048.
+            n_cal = max(1, min(256, batch_size // 2))
+            max_off = (STORE_T - FRAG) // DOWNSAMPLING
+            cal_idx = jnp.arange(n_cal, dtype=jnp.int32)
             x_cal = pallas_gather_whiten(
-                store[:n_cal], indices[:n_cal], offsets[:n_cal], t_out
+                store[:n_cal], cal_idx, offsets[:n_cal], t_out
             )[..., None]
             qvars = quantize_encoder(variables, enc_cfg, x_cal)
-            # Fidelity on a batch DISJOINT from the calibration batch
-            # (fresh offsets): calibration scales are the max-abs of their
-            # own batch, so measuring there would hide activation clipping.
             off_fid = jnp.asarray(
-                rng.integers(0, STORE_T - FRAG, size=(n_cal,),
-                             dtype=np.int32)
+                rng.integers(0, max_off, size=(n_cal,), dtype=np.int32)
             )
             x_fid = pallas_gather_whiten(
-                store[:n_cal], indices[:n_cal], off_fid, t_out
+                store[n_cal : 2 * n_cal], cal_idx, off_fid, t_out
             )[..., None]
             ref = np.asarray(
                 jax.jit(lambda x: fast_embed(variables, enc_cfg, x))(x_fid),
@@ -180,6 +199,18 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
                    / (np.linalg.norm(ref, axis=-1)
                       * np.linalg.norm(out, axis=-1) + 1e-12))
             fidelity = float(cos.min())
+            gate = "pass" if fidelity >= INT8_FIDELITY_GATE else "fail"
+            int8_served = gate == "pass" or int8 == "on"
+            if gate == "fail":
+                print(
+                    f"# int8 fidelity gate FAILED: min cosine {fidelity:.5f} "
+                    f"< {INT8_FIDELITY_GATE}"
+                    + (" — serving int8 anyway (--int8 forced)" if int8 == "on"
+                       else " — falling back to bf16 serving"),
+                    file=sys.stderr,
+                )
+
+        if int8_served:
 
             @jax.jit
             def embed(store, offsets):
@@ -192,7 +223,7 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
                 x = pallas_gather_whiten(store, indices, offsets, t_out)[..., None]
                 return fast_embed(variables, enc_cfg, x)
     else:
-        if int8:
+        if int8 == "on":
             raise SystemExit(
                 "--int8 benches the TPU serving path (needs the Pallas "
                 "pipeline; drop --no-pallas and run on the chip)"
@@ -216,22 +247,34 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
 
     # p50 single-utterance embed latency (BASELINE.json metric 3) — its own
     # jitted program at batch 1 (the throughput fn bakes in batch indices).
+    # Dtype-by-batch policy: int8 measures SLOWER than bf16 at batch 1
+    # (requantize round-trips dominate; BASELINE.md round 3), so batch-1
+    # serving uses bf16 below quant_infer.INT8_MIN_BATCH even when the bulk
+    # path serves int8.
     one_store = store[:1]
     one_off = offsets[:1]
-    if use_pallas and jax.default_backend() == "tpu":
+    batch1_dtype = "bf16"
+    if on_tpu_pallas:
         from voicemap_tpu.ops.pallas_preprocess import pallas_gather_whiten
 
         t_out = FRAG // DOWNSAMPLING
         one_idx = jnp.zeros((1,), jnp.int32)
+        batch1_int8 = False
+        if int8_served:
+            from voicemap_tpu.models.quant_infer import (
+                int8_worthwhile, quant_embed,
+            )
+
+            batch1_int8 = int8_worthwhile(1)
+        if batch1_int8:
+            batch1_dtype = "int8"
 
         @jax.jit
         def embed_one(store, offsets):
             x = pallas_gather_whiten(
                 store, one_idx, offsets, t_out, block_rows=1
             )[..., None]
-            if qvars is not None:
-                from voicemap_tpu.models.quant_infer import quant_embed
-
+            if batch1_int8:
                 return quant_embed(variables, qvars, model.cfg, x)
             return fast_embed(variables, model.cfg, x)
     else:
@@ -252,11 +295,21 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
     single = profiling.single_request_latency(
         embed_one, one_store, one_off, samples=20
     )
+    # Decompose single-request latency into device time + transport RTT
+    # (round-3 verdict: p95 swung 52.8→188.8 ms between runs with nothing to
+    # say whether the tunnel or the chip moved). The null fetch measures the
+    # transport component alone; device time ≈ request − null-RTT.
+    rtt = profiling.null_fetch_rtt(samples=20)
     return {"utt_per_sec": utt_per_sec,
             "steady_state_embed_ms": lat["mean_s"] * 1e3,
             "single_request_p50_ms": single["p50_s"] * 1e3,
             "single_request_p95_ms": single["p95_s"] * 1e3,
+            "null_rtt_p50_ms": rtt["p50_s"] * 1e3,
+            "null_rtt_p95_ms": rtt["p95_s"] * 1e3,
+            "device_p50_ms": max(single["p50_s"] - rtt["p50_s"], 0.0) * 1e3,
+            "batch1_dtype": batch1_dtype,
             "batch": batch_size, "backend": jax.default_backend(),
+            "int8": int8_served, "fidelity_gate": gate,
             "int8_min_cosine_vs_bf16": fidelity}
 
 
@@ -301,9 +354,15 @@ def main():
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp/XLA preprocessing chain instead of the fused Pallas kernel")
     p.add_argument("--int8", action="store_true",
-                   help="bench the int8 PTQ serving path (blocks 1+ "
-                        "s8×s8→s32; models/quant_infer.py)")
+                   help="FORCE the int8 PTQ serving path even if the "
+                        "fidelity gate fails (default: auto — serve int8 "
+                        "when min-cosine vs bf16 ≥ %.3f, else bf16)"
+                        % INT8_FIDELITY_GATE)
+    p.add_argument("--bf16", action="store_true",
+                   help="force bf16 serving (skip int8 calibration + gate)")
     args = p.parse_args()
+    if args.int8 and args.bf16:
+        raise SystemExit("--int8 and --bf16 are mutually exclusive")
 
     if args.cpu_baseline:
         r = bench_cpu_baseline(args.batch_size or _BASELINE_BATCH,
@@ -319,29 +378,43 @@ def main():
         return
 
     baseline = load_cpu_baseline()
+    int8_mode = "on" if args.int8 else ("off" if args.bf16 else "auto")
     r = bench_device(args.batch_size or 2048, args.iters or 20,
-                 use_pallas=not args.no_pallas, int8=args.int8)
-    metric = "utterances_per_sec_per_chip"
-    if args.int8:
-        metric += "_int8"
-    print(json.dumps({
-        "metric": metric,
+                 use_pallas=not args.no_pallas, int8=int8_mode)
+    out = {
+        "metric": "utterances_per_sec_per_chip",
         "value": round(r["utt_per_sec"], 2),
         "unit": "utterances/sec (3s @ 16kHz, embed pipeline)",
         "vs_baseline": round(r["utt_per_sec"] / baseline, 2),
-    }))
+        "int8": r["int8"],
+    }
+    if r["fidelity_gate"] is not None:
+        out["fidelity_gate"] = r["fidelity_gate"]
+        out["int8_min_cosine_vs_bf16"] = round(
+            r["int8_min_cosine_vs_bf16"], 6)
+    print(json.dumps(out))
     print(
-        f"# batch-1 embed: steady-state {r['steady_state_embed_ms']:.3f} ms/call "
+        f"# batch-1 embed ({r['batch1_dtype']}, dtype-by-batch policy): "
+        f"steady-state {r['steady_state_embed_ms']:.3f} ms/call "
         f"(400-iter slope, min of 5 passes; = reciprocal throughput, NOT a "
         f"request latency) | single-request p50 {r['single_request_p50_ms']:.2f} ms / "
         f"p95 {r['single_request_p95_ms']:.2f} ms (dispatch→result incl. "
         f"transport RTT) | backend: {r['backend']}",
         file=sys.stderr,
     )
-    if args.int8:
+    print(
+        f"# latency decomposition: null-fetch RTT p50 {r['null_rtt_p50_ms']:.2f} / "
+        f"p95 {r['null_rtt_p95_ms']:.2f} ms (transport alone) | device time "
+        f"p50 ≈ {r['device_p50_ms']:.2f} ms (request p50 − RTT p50); a p95 "
+        f"swing that also appears in the null RTT is the tunnel, not the chip",
+        file=sys.stderr,
+    )
+    if r["fidelity_gate"] is not None:
         print(
-            f"# int8 fidelity: min cosine vs bf16 fast_embed on the bench "
-            f"batch = {r['int8_min_cosine_vs_bf16']:.5f}",
+            f"# int8 fidelity gate: {r['fidelity_gate']} (min cosine vs bf16 "
+            f"on held-out rows+offsets = {r['int8_min_cosine_vs_bf16']:.5f}, "
+            f"gate ≥ {INT8_FIDELITY_GATE}) → serving "
+            f"{'int8' if r['int8'] else 'bf16'}",
             file=sys.stderr,
         )
 

@@ -28,6 +28,7 @@ from voicemap_tpu.models.encoder import ConvEncoder
 from voicemap_tpu.models.fast_infer import _xla_block, fast_embed
 from voicemap_tpu.models.quant_infer import (
     _quant_block,
+    calibrate_scales,
     quant_embed,
     quantize_encoder,
 )
@@ -74,22 +75,19 @@ def bench_blocks():
         return out
 
     acts = _acts(x)
+    # The calibrated inter-block input scales quant_embed actually uses
+    # (round-3 advisor: recomputing block-≥2 scales from the full-B
+    # activation max gave the benched blocks slightly different
+    # requantization than production serving). Same 256-row calibration
+    # batch as _setup's quantize_encoder → identical scales.
+    scales = calibrate_scales(variables, cfg, x[:256])
 
     for i in range(1, len(cfg.filter_multipliers)):
         a = acts[i]
         pool, dil = cfg.pool_sizes[i], cfg.dilations[i]
         blk, bst = params[f"block_{i}"], stats[f"block_{i}"]["bn"]
         qblk = qvars["blocks"][i - 1]
-        s_in = qvars["s0"] if i == 1 else None
-        if s_in is None:
-            # requantize with the calibrated input scale of this block
-            # (alpha of the previous qblock holds it implicitly; recompute
-            # from the f32 activation for a self-contained input).
-            s_in = jax.jit(
-                lambda a: jnp.maximum(
-                    jnp.max(jnp.abs(a.astype(jnp.float32)), axis=(0, 1)),
-                    1e-8) / 127.0
-            )(a)
+        s_in = jnp.asarray(scales[i - 1], jnp.float32)
         a_q = jax.jit(
             lambda a, s: jnp.clip(
                 jnp.round(a.astype(jnp.float32) / s), -127, 127

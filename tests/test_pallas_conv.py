@@ -43,6 +43,38 @@ def test_pallas_block0_matches_xla(k, pool, T, C):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_block0_requant_epilogue():
+    """requant_scale → int8 output = clip(round(h / s0)) of the f32 block
+    output (the serving path's fused s0 fold, models/quant_infer.py)."""
+    rng = np.random.default_rng(7)
+    C = 16
+    x = jnp.asarray(rng.standard_normal((2, 512, 1)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 1, C)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, C), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    mean = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, C), jnp.float32)
+    # Scales small enough that some activations clip, so the clamp is
+    # exercised, with a floor that keeps round() ties (x.5) measure-zero.
+    s0 = jnp.asarray(rng.uniform(0.01, 0.05, C), jnp.float32)
+    h = reference_block(x, w, b, scale, bias, mean, var, 1e-3, 4)
+    expect = np.clip(np.round(np.asarray(h) / np.asarray(s0)), -127, 127
+                     ).astype(np.int8)
+    out = pallas_conv_block0(
+        x, w, b, scale, bias, mean, var, 1e-3, pool=4, block_rows=2,
+        t_chunk=128, interpret=True, gemm_dtype=jnp.float32,
+        requant_scale=s0,
+    )
+    assert out.dtype == jnp.int8
+    mismatch = np.mean(np.asarray(out) != expect)
+    # borderline round() differences (f32 associativity) may flip an lsb on
+    # a tiny fraction of positions; the int8 value must still be within 1
+    assert mismatch < 1e-3
+    np.testing.assert_array_less(
+        np.abs(np.asarray(out, np.int32) - expect.astype(np.int32)), 2)
+
+
 def test_pallas_block0_nonmultiple_tout():
     """t_out not a multiple of t_chunk → padded positions sliced off."""
     rng = np.random.default_rng(1)

@@ -83,8 +83,8 @@ def stacked_weights(
 def _kernel(
     x4t_ref,  # (b_blk, pool, Lq) f32
     w4_ref,  # (rows_pad, pool*C) f32
-    aff_ref,  # (3, pool*C) f32: [bias_tiled, bn_mul_tiled, bn_add_tiled]
-    o_ref,  # (b_blk, t_out_pad, C) bf16
+    aff_ref,  # (3|4, pool*C) f32: [bias, bn_mul, bn_add, 1/requant_scale]
+    o_ref,  # (b_blk, t_out_pad, C) bf16 — or int8 when requant
     fst_ref,  # scratch (rows_pad, T_CH) f32 — Fᵀ
     *,
     b_blk: int,
@@ -95,6 +95,7 @@ def _kernel(
     t_ch: int,
     c: int,
     gemm_dtype,
+    requant: bool = False,
 ):
     n_q = win // pool + (1 if win % pool else 0)
     # Zero Fᵀ once: rows ≥ win are never written and would otherwise hold
@@ -133,6 +134,13 @@ def _kernel(
             out = y[:, :c]
             for j in range(1, pool):
                 out = jnp.maximum(out, y[:, j * c : (j + 1) * c])
+            if requant:
+                # int8 requantize epilogue (the serving path's s0 fold):
+                # emit round(h/s0) clamped to int8 straight from the f32
+                # pooled value in VMEM — block 0 is HBM-bound, so writing
+                # int8 instead of bf16 halves its output traffic AND
+                # deletes quant_embed's separate full-rate requant pass.
+                out = jnp.clip(jnp.round(out * aff_ref[3:4, :c]), -127, 127)
             o_ref[row, base : base + t_ch, :] = out.astype(o_ref.dtype)
 
 
@@ -156,8 +164,16 @@ def pallas_conv_block0(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
     gemm_dtype=jnp.bfloat16,
+    requant_scale: jnp.ndarray | None = None,  # (C,) f32 → int8 output
 ) -> jnp.ndarray:
-    """Fused conv(SAME)+relu+BN(inference)+maxpool → (B, T//pool, C)."""
+    """Fused conv(SAME)+relu+BN(inference)+maxpool → (B, T//pool, C).
+
+    With ``requant_scale`` (the int8 serving path's per-channel s0,
+    models/quant_infer.py), the epilogue also emits
+    ``clip(round(h / s0), ±127)`` as int8 — requantizing from the f32
+    pooled value in VMEM instead of a separate full-rate XLA pass over a
+    bf16 intermediate, and ``out_dtype`` is forced to int8.
+    """
     if x.ndim == 3:
         x = x[..., 0]
     B, T = x.shape
@@ -172,15 +188,18 @@ def pallas_conv_block0(
     x4t = phase_split(x.astype(jnp.float32), pool, reach, t_out_pad)
     w4, win, rows_pad = stacked_weights(w, pool)
     inv = jax.lax.rsqrt(bn_var.astype(jnp.float32) + bn_eps) * bn_scale
-    aff = jnp.stack(
-        [
-            jnp.tile(b.astype(jnp.float32), pool),
-            jnp.tile(inv.astype(jnp.float32), pool),
-            jnp.tile(
-                (bn_bias - bn_mean * inv).astype(jnp.float32), pool
-            ),
-        ]
-    )
+    rows = [
+        jnp.tile(b.astype(jnp.float32), pool),
+        jnp.tile(inv.astype(jnp.float32), pool),
+        jnp.tile((bn_bias - bn_mean * inv).astype(jnp.float32), pool),
+    ]
+    requant = requant_scale is not None
+    if requant:
+        out_dtype = jnp.int8
+        rows.append(
+            jnp.tile(1.0 / requant_scale.astype(jnp.float32), pool)
+        )
+    aff = jnp.stack(rows)
     Lq = x4t.shape[2]
     kernel = functools.partial(
         _kernel,
@@ -192,6 +211,7 @@ def pallas_conv_block0(
         t_ch=t_chunk,
         c=c,
         gemm_dtype=gemm_dtype,
+        requant=requant,
     )
     out = pl.pallas_call(
         kernel,

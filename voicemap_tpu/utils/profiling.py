@@ -125,6 +125,42 @@ def single_request_latency(
     }
 
 
+def null_fetch_rtt(samples: int = 20, warmup: int = 3) -> Dict[str, float]:
+    """Distribution of a bare tiny D2H fetch with NO device work queued.
+
+    On the axon remote platform every single-request latency includes one
+    tunnel round-trip; this measures that transport component in isolation,
+    so callers can decompose request latency into device time + transport
+    RTT and a p95 swing in the tunnel is distinguishable from an on-device
+    regression.
+
+    Each sample fetches a FRESH 1-element result of a trivial jitted op:
+    jax.Array caches its host copy after the first access, so repeatedly
+    fetching the same array measures a host memcpy (~0.01 ms), not the
+    tunnel. A new output buffer per sample forces a real D2H round trip;
+    the +1 executes in ~µs, so the fetch time ≈ transport RTT.
+    """
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jax.device_put(jnp.zeros((1,), jnp.float32))
+    for _ in range(warmup):
+        np.asarray(f(x))
+    ts = []
+    for _ in range(samples):
+        y = f(x)  # async dispatch; fresh (uncached) device buffer
+        t0 = time.perf_counter()
+        np.asarray(y)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return {
+        "p50_s": statistics.median(ts),
+        "p95_s": ts[min(len(ts) - 1, int(0.95 * len(ts)))],
+        "min_s": ts[0],
+        "mean_s": sum(ts) / len(ts),
+    }
+
+
 def throughput(
     fn: Callable, *args, items_per_call: int, iters: int = 30, warmup: int = 5, **kw
 ) -> Dict[str, float]:
