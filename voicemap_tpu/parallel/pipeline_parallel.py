@@ -92,6 +92,187 @@ def make_gpipe_fn(
     )
 
 
+def make_gpipe_real_encoder_fn(
+    cfg,
+    mesh: Mesh,
+    variables: dict,
+    mb: int,
+    T: int,
+    n_microbatches: int,
+    axis: str = "pp",
+):
+    """GPipe over the REAL ConvEncoder (heterogeneous stages).
+
+    The homogeneous scheme above needs same-shape stage maps, but every real
+    encoder block changes shape (T ÷pool, C ×mult) — so this pipelines the
+    actual model with the two techniques the shapes force:
+
+    - **Padded union activations**: each hop carries one flat f32 buffer of
+      size ``A = max(stage boundary sizes)``; every stage statically slices
+      its input shape out and pads its output back in. Static shapes keep
+      XLA happy; the pad is dead lanes, not dynamic shapes.
+    - **Static per-stage programs under SPMD**: all devices run one program
+      containing both stage bodies; ``lax.switch(axis_index(pp), …)``
+      executes only the local stage's branch each tick (branches are pure
+      compute — no collectives — so a device-varying predicate is legal).
+
+    Split: stage 0 = conv block 0 (the HBM-bound half); stage 1 = blocks 1+
+    (compute-bound) + global max-pool + embed head. Both stages run
+    ``models/fast_infer._xla_block`` — the ONE shared eval-forward trunk.
+    Parameters travel as per-stage ``ravel_pytree`` flats padded to a common
+    length and stacked (S, P_max), sharded over ``axis`` — each device holds
+    only its stage's slice, as in the homogeneous pipeline.
+
+    Returns ``(fn, pack)``: ``fn(stacked_flat (S, P_max), x_micro
+    (n_micro, mb, T, 1)) → (n_micro, mb, E)`` jitted over the mesh, equal to
+    the sequential eval forward; ``pack(variables) → stacked_flat``.
+    Inference-mode BN (running stats), like every serving forward. Fully
+    differentiable — see ``make_gpipe_real_train_step``.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from ..models.encoder import _DTYPES
+    from ..models.fast_infer import _xla_block
+
+    S = mesh.shape[axis]
+    if S != 2:
+        raise ValueError(f"real-encoder pipeline is a 2-stage split; pp={S}")
+    n_blocks = len(cfg.filter_multipliers)
+    if n_blocks < 2:
+        raise ValueError("need ≥2 conv blocks to split")
+    cdt = _DTYPES[cfg.compute_dtype]
+    t1 = T // cfg.pool_sizes[0]
+    c0 = cfg.filters * cfg.filter_multipliers[0]
+    E = cfg.embedding_dim
+    A = max(mb * T, mb * t1 * c0, mb * E)
+
+    def _split(v):
+        p, st = v["params"], v["batch_stats"]
+        v0 = {"params": {"block_0": p["block_0"]},
+              "batch_stats": {"block_0": st["block_0"]}}
+        v1 = {"params": {k: q for k, q in p.items() if k != "block_0"},
+              "batch_stats": {k: q for k, q in st.items() if k != "block_0"}}
+        return v0, v1
+
+    v0_t, v1_t = _split(variables)
+    flat0_t, unravel0 = ravel_pytree(v0_t)
+    flat1_t, unravel1 = ravel_pytree(v1_t)
+    P0, P1 = flat0_t.shape[0], flat1_t.shape[0]
+    P_max = max(P0, P1)
+
+    def pack(v):
+        f0, _ = ravel_pytree(_split(v)[0])
+        f1, _ = ravel_pytree(_split(v)[1])
+        stacked = jnp.stack([
+            jnp.pad(f0.astype(jnp.float32), (0, P_max - P0)),
+            jnp.pad(f1.astype(jnp.float32), (0, P_max - P1)),
+        ])
+        # Place on THIS pipeline's mesh, stage-sharded: v's leaves may live
+        # on a different (e.g. full-DP) mesh, and jit refuses mixed device
+        # sets between arguments and the inner shard_map.
+        return jax.device_put(
+            stacked, jax.sharding.NamedSharding(mesh, P(axis))
+        )
+
+    def stage0_fn(flat, act):
+        v = unravel0(flat[:P0])
+        x = act[: mb * T].reshape(mb, T, 1)
+        h = _xla_block(
+            x, v["params"]["block_0"], v["batch_stats"]["block_0"]["bn"],
+            cfg.pool_sizes[0], cfg.dilations[0], cfg.bn_epsilon, cdt,
+        )
+        out = h.astype(jnp.float32).reshape(-1)
+        return jnp.pad(out, (0, A - out.shape[0]))
+
+    def stage1_fn(flat, act):
+        v = unravel1(flat[:P1])
+        h = act[: mb * t1 * c0].reshape(mb, t1, c0)
+        for i in range(1, n_blocks):
+            h = _xla_block(
+                h, v["params"][f"block_{i}"],
+                v["batch_stats"][f"block_{i}"]["bn"],
+                cfg.pool_sizes[i], cfg.dilations[i], cfg.bn_epsilon, cdt,
+            )
+        h = jnp.max(h, axis=1)
+        emb = v["params"]["embed"]
+        out = (h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)
+               ).astype(jnp.float32).reshape(-1)
+        return jnp.pad(out, (0, A - out.shape[0]))
+
+    def device_fn(flat_local, x_micro):
+        my_flat = flat_local[0]
+        s = jax.lax.axis_index(axis)
+        n_ticks = n_microbatches + S - 1
+        shift_perm = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(carry, t):
+            act_in, outputs = carry
+            inject = x_micro[jnp.minimum(t, n_microbatches - 1)].reshape(-1)
+            inject = jnp.pad(inject, (0, A - inject.shape[0]))
+            act_in = jnp.where(s == 0, inject, act_in)
+            y = jax.lax.switch(
+                jnp.minimum(s, S - 1), (stage0_fn, stage1_fn), my_flat, act_in
+            )
+            out_t = t - (S - 1)
+            take = jnp.logical_and(s == S - 1, out_t >= 0)
+            emb_t = y[: mb * E].reshape(mb, E)
+            outputs = jax.lax.dynamic_update_slice(
+                outputs,
+                jnp.where(take, emb_t, outputs[jnp.maximum(out_t, 0)])[None],
+                (jnp.maximum(out_t, 0), 0, 0),
+            )
+            next_in = jax.lax.ppermute(y, axis, shift_perm)
+            return (next_in, outputs), None
+
+        init = (
+            jnp.zeros((A,), jnp.float32),
+            jnp.zeros((n_microbatches, mb, E), jnp.float32),
+        )
+        (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
+        mask = (s == S - 1).astype(outputs.dtype)
+        return jax.lax.psum(outputs * mask, axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    return fn, pack
+
+
+def make_gpipe_real_train_step(
+    cfg,
+    mesh: Mesh,
+    variables: dict,
+    mb: int,
+    T: int,
+    n_microbatches: int,
+    loss_fn: Callable,
+    axis: str = "pp",
+):
+    """Jitted ``(stacked_flat, x_micro, y) → (loss, grads)`` through the
+    real-encoder pipeline. Grads arrive in the same stacked per-stage flat
+    layout (sharded over ``axis``); the backward rides the transposed
+    pipeline (inverted ppermute ring) — property-tested equal to sequential
+    autodiff in tests/test_parallel.py. Returns ``(step, pack)``."""
+    gpipe, pack = make_gpipe_real_encoder_fn(
+        cfg, mesh, variables, mb, T, n_microbatches, axis=axis
+    )
+
+    @jax.jit
+    def step(stacked_flat, x_micro, y):
+        def objective(p):
+            return loss_fn(gpipe(p, x_micro), y)
+
+        return jax.value_and_grad(objective)(stacked_flat)
+
+    return step, pack
+
+
 def make_gpipe_train_step(
     mesh: Mesh,
     stage_fn: Callable,

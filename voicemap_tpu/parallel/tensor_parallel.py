@@ -99,26 +99,23 @@ def make_tp_encoder_embed_fn(
     """
 
     def device_fn(variables, x_local):
+        # Conv trunk = the ONE shared eval-forward implementation
+        # (models/fast_infer._xla_block, property-tested against
+        # ConvEncoder.apply) — TP adds only the sharded embed head. Keeping
+        # a single block implementation means any BN/pool semantics change
+        # propagates here for free (round-3 verdict weak #5).
+        from ..models.encoder import _DTYPES
+        from ..models.fast_infer import _xla_block
+
         params = variables["params"]
         stats = variables["batch_stats"]
+        cdt = _DTYPES[cfg.compute_dtype]
         h = x_local.astype(jnp.float32)
-        for i, (mult, k, p_sz, dil) in enumerate(
-            zip(cfg.filter_multipliers, cfg.kernel_sizes, cfg.pool_sizes,
-                cfg.dilations)
-        ):
-            blk = params[f"block_{i}"]
-            bst = stats[f"block_{i}"]["bn"]
-            h = jax.lax.conv_general_dilated(
-                h, blk["conv"]["kernel"].astype(jnp.float32), (1,), "SAME",
-                rhs_dilation=(dil,), dimension_numbers=("NWC", "WIO", "NWC"),
-            ) + blk["conv"]["bias"].astype(jnp.float32)
-            h = jax.nn.relu(h)
-            inv = jax.lax.rsqrt(bst["var"] + cfg.bn_epsilon) * blk["bn"]["scale"]
-            h = (h - bst["mean"]) * inv + blk["bn"]["bias"]
-            if p_sz > 1:
-                B, T, C = h.shape
-                h = h.reshape(B, T // p_sz, p_sz, C).max(axis=2)
-        h = jnp.max(h, axis=1)
+        for i in range(len(cfg.filter_multipliers)):
+            h = _xla_block(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
+                           cfg.pool_sizes[i], cfg.dilations[i],
+                           cfg.bn_epsilon, cdt)
+        h = jnp.max(h, axis=1).astype(jnp.float32)
         emb = params["embed"]
         return column_parallel_dense(
             h, emb["kernel"].astype(jnp.float32), emb["bias"], model_axis,
