@@ -136,6 +136,13 @@ def main():
             max_store_seconds=args.max_store_seconds, fast=args.fast,
             int8=args.int8,
         )
+        # Protocol v2: the manifest also pins verification (EER/AUC) entries.
+        results += protocol.run_verification_protocol(
+            model, state, args.data_root, cfg,
+            allow_corpus_mismatch=args.allow_corpus_mismatch,
+            max_store_seconds=args.max_store_seconds, fast=args.fast,
+            int8=args.int8,
+        )
         for r in results:
             print(json.dumps(r))
         return

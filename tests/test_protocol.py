@@ -43,7 +43,7 @@ def _model_and_cfg(proto_corpus):
 
 def test_manifest_loads_and_is_frozen():
     m = protocol.load_manifest()
-    assert m["version"] == 1
+    assert m["version"] == 2
     assert m["task_seed"] == 1906
     assert m["fragment"]["whiten_rms"] == 0.038021
     assert m["fragment"]["stochastic"] is False
@@ -51,6 +51,14 @@ def test_manifest_loads_and_is_frozen():
     assert "dev-clean_1shot_5way" in names
     assert m["corpus_identity"]["dev-clean"]["n_utterances"] == 2703
     assert m["corpus_identity"]["test-clean"]["n_utterances"] == 2620
+    # v2: verification metrics are pinned (VERDICT r3 next #7)
+    v = m["verification"]
+    assert v["pair_seed"] == 7919
+    assert v["same_label"] == 0
+    assert [e["name"] for e in v["entries"]] == [
+        "dev-clean_verification", "test-clean_verification"]
+    assert all(e["num_pairs"] == 2000 for e in v["entries"])
+    assert v["acceptance"]["z"] == 1.96
 
 
 def test_fingerprint_deterministic(proto_corpus):
@@ -122,6 +130,54 @@ def test_protocol_seed_pinned_reproducible(proto_corpus):
                                max_store_seconds=5.0)
     assert r1[0]["accuracy"] == r2[0]["accuracy"]
     assert r1[0]["corpus_fingerprint"] == r2[0]["corpus_fingerprint"]
+
+
+def test_verification_protocol_runs_and_is_reproducible(proto_corpus):
+    """v2 verification entries: pinned pair seed ⇒ bit-identical EER/AUC
+    across runs; results carry acceptance-rule stderrs and CIs."""
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    m["verification"]["entries"] = [
+        dict(m["verification"]["entries"][0], num_pairs=200)]
+    kw = dict(manifest=m, allow_corpus_mismatch=True, max_store_seconds=5.0)
+    r1 = protocol.run_verification_protocol(
+        model, state, proto_corpus, cfg, **kw)
+    r2 = protocol.run_verification_protocol(
+        model, state, proto_corpus, cfg, **kw)
+    assert len(r1) == 1
+    v = r1[0]
+    assert v["entry"] == "dev-clean_verification"
+    assert 0.0 <= v["eer"] <= 1.0 and 0.0 <= v["auc"] <= 1.0
+    assert v["n_same"] == 100 and v["n_diff"] == 100
+    assert v["eer_ci95"][0] <= v["eer"] <= v["eer_ci95"][1]
+    assert v["auc_ci95"][0] <= v["auc"] <= v["auc_ci95"][1]
+    assert v["pair_seed"] == 7919 and v["comparable"] is False
+    assert (v["eer"], v["auc"]) == (r2[0]["eer"], r2[0]["auc"])
+    json.dumps(v)
+
+
+def test_verification_protocol_v1_manifest_is_noop(proto_corpus):
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    del m["verification"]
+    assert protocol.run_verification_protocol(
+        model, state, proto_corpus, cfg, manifest=m,
+        allow_corpus_mismatch=True, max_store_seconds=5.0) == []
+
+
+def test_verification_stderr_helpers():
+    from voicemap_tpu.eval import verification as V
+
+    # Hanley-McNeil at A=0.5 with n_s=n_d=n reduces to ~sqrt((1/12)(2n-1)/n^2)
+    n = 1000
+    se = V.auc_stderr(0.5, n, n)
+    import math
+    expect = math.sqrt((0.25 + (n - 1) * (1 / 3 - 0.25) * 2) / (n * n))
+    assert abs(se - expect) < 1e-12
+    # stderr shrinks with more pairs, grows toward chance
+    assert V.auc_stderr(0.9, 100, 100) > V.auc_stderr(0.9, 1000, 1000)
+    assert V.eer_stderr(0.5, 100, 100) > V.eer_stderr(0.05, 100, 100)
+    assert V.eer_stderr(0.1, 100, 100) > V.eer_stderr(0.1, 1000, 1000)
 
 
 def test_check_corpus_per_subset_on_combined_dataset(proto_corpus):

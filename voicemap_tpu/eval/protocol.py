@@ -190,3 +190,106 @@ def run_protocol(
             "int8": int8,
         })
     return results
+
+
+def run_verification_protocol(
+    model,
+    state,
+    data_root: str,
+    cfg_base,
+    manifest: Optional[Dict] = None,
+    allow_corpus_mismatch: bool = False,
+    max_store_seconds: Optional[float] = None,
+    fast: bool = False,
+    int8: bool = False,
+) -> List[Dict]:
+    """Run the manifest's pinned verification entries (protocol v2).
+
+    EER/AUC over ``num_pairs`` balanced same/different pairs sampled from
+    ``PRNGKey(pair_seed)``, scored with ``eval/verification.py``'s policy
+    (trained head for BCE-siamese, embedding euclidean otherwise —
+    reference scoring surface: ``voicemap/train.py`` verification batches).
+    Results carry the acceptance-rule standard errors so two runs of this
+    function are directly comparable under the manifest's z-test.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..data.dataset import dataset_from_config
+    from ..train import steps as steps_mod
+    from . import verification as V
+
+    manifest = manifest or load_manifest()
+    ver = manifest.get("verification")
+    if ver is None:
+        return []  # v1 manifest: nothing pinned
+    frag = manifest["fragment"]
+    same_label = int(ver["same_label"])
+    results = []
+    for entry in ver["entries"]:
+        data_cfg = dataclasses.replace(
+            cfg_base.data,
+            data_root=data_root,
+            subsets=tuple(entry["subsets"]),
+            seconds=frag["seconds"],
+            sample_rate=frag["sample_rate"],
+            downsampling=frag["downsampling"],
+            stochastic=frag["stochastic"],
+            pad=frag["pad"],
+            whiten_rms=frag["whiten_rms"],
+        )
+        cfg = cfg_base.replace(data=data_cfg)
+        if cfg.mode == "siamese":
+            cfg = cfg.replace(
+                siamese=dataclasses.replace(cfg.siamese, same_label=same_label)
+            )
+        ds = dataset_from_config(cfg.data)
+        problems = []
+        fps: Dict[str, str] = {}
+        for subset in entry["subsets"]:
+            problems += check_corpus(ds, subset, manifest, fingerprints=fps)
+        if problems and not allow_corpus_mismatch:
+            raise ValueError(
+                "corpus does not match EVAL_PROTOCOL.json: "
+                + "; ".join(problems)
+            )
+        store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
+        qvars = None
+        if int8:
+            from ..models.quant_infer import quantize_from_store
+
+            qvars = quantize_from_store(state, cfg, store)
+        scores, labels = V.verification_scores(
+            model, state, store, cfg,
+            jax.random.PRNGKey(int(ver["pair_seed"])),
+            num_pairs=entry["num_pairs"], fast=fast, qvars=qvars,
+        )
+        n_same = int((labels == same_label).sum())
+        n_diff = int(len(labels) - n_same)
+        eer, thr = V.eer_from_scores(scores, labels, same_label)
+        auc = V.auc_from_scores(scores, labels, same_label)
+        z = float(ver["acceptance"]["z"])
+        se_eer = V.eer_stderr(eer, n_same, n_diff)
+        se_auc = V.auc_stderr(auc, n_same, n_diff)
+        results.append({
+            "entry": entry["name"],
+            "eer": round(eer, 4),
+            "eer_threshold": round(thr, 4),
+            "eer_stderr": round(se_eer, 4),
+            "eer_ci95": [round(eer - z * se_eer, 4), round(eer + z * se_eer, 4)],
+            "auc": round(auc, 4),
+            "auc_stderr": round(se_auc, 4),
+            "auc_ci95": [round(auc - z * se_auc, 4), round(auc + z * se_auc, 4)],
+            "num_pairs": int(len(labels)),
+            "n_same": n_same,
+            "n_diff": n_diff,
+            "pair_seed": int(ver["pair_seed"]),
+            "same_label": same_label,
+            "subsets": entry["subsets"],
+            "corpus_verified": not problems,
+            "corpus_problems": problems,
+            "comparable": not problems,
+            "int8": int8,
+        })
+    return results

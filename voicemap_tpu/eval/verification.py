@@ -75,6 +75,32 @@ def auc_from_scores(
     return float((len(diff) - wins).mean() / len(diff))
 
 
+def auc_stderr(auc: float, n_same: int, n_diff: int) -> float:
+    """Hanley-McNeil (1982) standard error of the AUC estimate.
+
+    The EVAL_PROTOCOL.json v2 acceptance rule's se term; exact under the
+    exponential-scores assumption, a good approximation generally."""
+    a = min(max(float(auc), 1e-9), 1.0 - 1e-9)
+    q1 = a / (2.0 - a)
+    q2 = 2.0 * a * a / (1.0 + a)
+    var = (
+        a * (1.0 - a)
+        + (n_same - 1) * (q1 - a * a)
+        + (n_diff - 1) * (q2 - a * a)
+    ) / (n_same * n_diff)
+    return float(np.sqrt(max(var, 0.0)))
+
+
+def eer_stderr(eer: float, n_same: int, n_diff: int) -> float:
+    """Binomial approximation of the EER standard error (protocol v2).
+
+    The crossing point is estimated from both error curves (FAR over
+    ``n_diff`` pairs, FRR over ``n_same``), so both sampling variances
+    contribute. Slightly anti-conservative near eer→0."""
+    e = min(max(float(eer), 1e-9), 1.0 - 1e-9)
+    return float(np.sqrt(e * (1.0 - e) * (1.0 / n_same + 1.0 / n_diff)))
+
+
 def verification_scores(
     model,
     state: TrainState,
