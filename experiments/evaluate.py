@@ -49,6 +49,16 @@ def parse_args():
                         "--save-qvars) instead of calibrating; evaluates the "
                         "EXACT deployed quantization (implies --int8; ad-hoc "
                         "path only, not --protocol)")
+    p.add_argument("--k-sweep", type=int, nargs=2, default=None,
+                   metavar=("KMIN", "KMAX"),
+                   help="sweep k-way over [KMIN, KMAX] from ONE embedding "
+                        "table (the reference README's accuracy-vs-k results "
+                        "figure); writes <sweep-out>.json + <sweep-out>.png "
+                        "and prints one JSON line per point")
+    p.add_argument("--sweep-n-shots", type=int, nargs="+", default=[1, 5],
+                   help="n-shot curves to draw in the k sweep")
+    p.add_argument("--sweep-out", default="accuracy_vs_k",
+                   help="artifact path prefix for --k-sweep")
     p.add_argument("--verification", type=int, default=None, metavar="N",
                    help="also report threshold-free verification metrics "
                         "(EER / AUC) over N balanced same/different pairs "
@@ -62,6 +72,54 @@ def parse_args():
                         "the manifest identity check; results are marked "
                         "non-comparable")
     return p.parse_args()
+
+
+# Fixed-order categorical hues (validated: CVD-safe on the light surface) —
+# one per n-shot curve; chance sits on a neutral dashed line, never a hue.
+_SERIES_COLORS = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+
+
+def plot_sweep(results, out_png, subsets):
+    """Accuracy-vs-k line figure (the reference README's results plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    by_n = {}
+    for r in results:
+        if "accuracy" in r:
+            by_n.setdefault(r["n_shot"], []).append(r)
+    fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
+    fig.patch.set_facecolor("#fcfcfb")
+    ax.set_facecolor("#fcfcfb")
+    ks_all = sorted({r["k_way"] for r in results})
+    ax.plot(ks_all, [1.0 / k for k in ks_all], ls="--", lw=1.5,
+            color="#52514e", label="chance (1/k)")
+    for i, (n, pts) in enumerate(sorted(by_n.items())):
+        pts = sorted(pts, key=lambda r: r["k_way"])
+        ks = [r["k_way"] for r in pts]
+        acc = [r["accuracy"] for r in pts]
+        se = [r["stderr"] for r in pts]
+        c = _SERIES_COLORS[i % len(_SERIES_COLORS)]
+        ax.plot(ks, acc, lw=2, color=c, marker="o", ms=4,
+                label=f"{n}-shot")
+        ax.fill_between(ks, [a - 1.96 * s for a, s in zip(acc, se)],
+                        [a + 1.96 * s for a, s in zip(acc, se)],
+                        color=c, alpha=0.15, lw=0)
+    ax.set_xlabel("k-way (speakers per task)", color="#0b0b0b")
+    ax.set_ylabel("accuracy", color="#0b0b0b")
+    ax.set_title(f"n-shot speaker ID accuracy vs k — {', '.join(subsets)}",
+                 color="#0b0b0b", fontsize=11)
+    ax.set_ylim(0.0, 1.02)
+    ax.grid(True, color="#e6e5e1", lw=0.6)
+    for spine in ax.spines.values():
+        spine.set_color("#c3c2b7")
+    ax.tick_params(colors="#52514e")
+    ax.legend(frameon=False, loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_png, facecolor=fig.get_facecolor())
+    plt.close(fig)
 
 
 def main():
@@ -161,6 +219,31 @@ def main():
 
         qvars = quantize_from_store(state, cfg, store)
         print("int8 serving path: calibrated on the eval store")
+    if args.k_sweep:
+        import json
+
+        kmin, kmax = args.k_sweep
+        if kmin < 2 or kmax < kmin:
+            raise SystemExit("--k-sweep needs 2 <= KMIN <= KMAX")
+        results = nshot.evaluate_sweep(
+            model, state, store, cfg, jax.random.PRNGKey(args.seed),
+            n_shots=args.sweep_n_shots, k_values=range(kmin, kmax + 1),
+            num_tasks=args.num_tasks, fast=args.fast, qvars=qvars,
+        )
+        for r in results:
+            print(json.dumps(r))
+        meta = {
+            "subsets": args.subsets, "mode": args.mode,
+            "checkpoint_dir": args.checkpoint_dir,
+            "num_tasks": args.num_tasks, "seed": args.seed,
+            "int8": bool(qvars is not None), "points": results,
+        }
+        with open(args.sweep_out + ".json", "w") as f:
+            json.dump(meta, f, indent=1)
+        plot_sweep(results, args.sweep_out + ".png", args.subsets)
+        print(f"wrote {args.sweep_out}.json and {args.sweep_out}.png")
+        return
+
     acc = nshot.evaluate(
         model, state, store, cfg, jax.random.PRNGKey(args.seed),
         num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way, fast=args.fast,

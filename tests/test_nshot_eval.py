@@ -203,3 +203,66 @@ def test_siamese_nshot_same_label_one_flips_selection():
         metric="weighted_l1", same_label=1,
     )
     assert float(a_flip) != float(a0)
+
+
+def test_evaluate_sweep_one_table_many_points(corpus_root, tmp_path):
+    """k-sweep (reference README accuracy-vs-k figure): one embedding table,
+    one point per (n, k); unsupported settings are skipped, not raised;
+    points are deterministic and match a standalone evaluate() at the same
+    folded key; plot_sweep writes a PNG."""
+    from voicemap_tpu.config import DataConfig, EncoderConfig, ExperimentConfig
+    from voicemap_tpu.data.dataset import SpeakerDataset
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = ExperimentConfig(
+        mode="classifier",
+        data=DataConfig(data_root=corpus_root, subsets=("dev-clean",),
+                        seconds=1.0, downsampling=4),
+        encoder=EncoderConfig(filters=8, embedding_dim=16,
+                              compute_dtype="float32"),
+    )
+    ds = SpeakerDataset(subsets=("dev-clean",), seconds=1.0,
+                        data_root=corpus_root)
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    key = jax.random.PRNGKey(11)
+    # 8 speakers x 6 utts: k=9,10 must skip; n=5 needs 6 utts -> supported.
+    res = nshot.evaluate_sweep(
+        model, state, store, cfg, key, n_shots=[1, 5],
+        k_values=range(2, 11), num_tasks=50, embed_batch=16,
+    )
+    assert len(res) == 2 * 9
+    for r in res:
+        if r["k_way"] > 8:
+            assert "skipped" in r and "accuracy" not in r
+        else:
+            assert 0.0 <= r["accuracy"] <= 1.0
+            assert r["chance"] == pytest.approx(1.0 / r["k_way"])
+    # Determinism + parity with the single-point path at the folded key.
+    res2 = nshot.evaluate_sweep(
+        model, state, store, cfg, key, n_shots=[1, 5],
+        k_values=range(2, 11), num_tasks=50, embed_batch=16,
+    )
+    assert [r.get("accuracy") for r in res] == [r.get("accuracy") for r in res2]
+    one = nshot.evaluate(
+        model, state, store, cfg, jax.random.fold_in(key, 1 * 1009 + 4),
+        num_tasks=50, n=1, k=4, embed_batch=16,
+    )
+    point = next(r for r in res if r["n_shot"] == 1 and r["k_way"] == 4)
+    assert point["accuracy"] == pytest.approx(one)
+
+    # The CLI's plot helper produces the artifact.
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "evaluate_cli", os.path.join(repo, "experiments", "evaluate.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    png = tmp_path / "sweep.png"
+    mod.plot_sweep(res, str(png), ["dev-clean"])
+    assert png.stat().st_size > 5000

@@ -277,6 +277,25 @@ def evaluate(
         )
     table = embed_all(model, state, store, cfg, batch_size=embed_batch,
                       fast=fast, qvars=qvars)
+    return score_table(table, state, store, cfg, key, num_tasks, n, k)
+
+
+def score_table(
+    table: jnp.ndarray,
+    state: TrainState,
+    store: DeviceStore,
+    cfg: ExperimentConfig,
+    key: jax.Array,
+    num_tasks: int,
+    n: int,
+    k: int,
+) -> float:
+    """Score one (n, k) setting against a precomputed embedding table.
+
+    The scoring half of :func:`evaluate`, split out so sweeps (accuracy vs k —
+    the reference ``README.md`` results-figure family) embed the corpus ONCE
+    and re-score cheaply per setting.
+    """
     # Contrastive training optimizes embedding euclidean distances and never
     # trains the Dense(1) head — scoring with the (random-init) head could
     # even invert rankings, so evaluate by embedding distance instead.
@@ -311,3 +330,63 @@ def evaluate(
             k,
         )
     return float(acc)
+
+
+def evaluate_sweep(
+    model,
+    state: TrainState,
+    store: DeviceStore,
+    cfg: ExperimentConfig,
+    key: jax.Array,
+    n_shots,
+    k_values,
+    num_tasks: int = 500,
+    embed_batch: int = 256,
+    fast: bool = False,
+    qvars=None,
+):
+    """Accuracy over a grid of (n_shot, k_way) settings from ONE embedding table.
+
+    Rebuild of the reference ``README.md`` accuracy-vs-k results figures
+    (the reference re-ran its sequential 500-task eval per point; here the
+    corpus is embedded once and each point is one compiled scoring call).
+    Task keys are folded per (n, k) so every point draws independent tasks;
+    the same (key, n, k, num_tasks) always reproduces the same point.
+
+    Returns a list of dicts: ``{n_shot, k_way, num_tasks, accuracy, stderr,
+    chance}`` in (n, k) grid order. Settings the store cannot support
+    (k > #speakers, n+1 > min utterances/speaker) are skipped with a
+    ``skipped`` reason instead of raising, so wide sweeps survive small
+    validation stores.
+    """
+    counts = np.asarray(store.speaker_counts)
+    num_speakers = int(counts.shape[0])
+    min_utts = int(counts.min())
+    table = embed_all(model, state, store, cfg, batch_size=embed_batch,
+                      fast=fast, qvars=qvars)
+    results = []
+    for n in n_shots:
+        for k in k_values:
+            point = {"n_shot": int(n), "k_way": int(k),
+                     "num_tasks": int(num_tasks), "chance": 1.0 / int(k)}
+            if k > num_speakers:
+                point["skipped"] = (
+                    f"k_way={k} exceeds the {num_speakers} eval-store speakers"
+                )
+            elif min_utts < n + 1:
+                point["skipped"] = (
+                    f"n_shot={n} needs ≥{n + 1} utterances per speaker; "
+                    f"store minimum is {min_utts}"
+                )
+            else:
+                acc = score_table(
+                    table, state, store, cfg,
+                    jax.random.fold_in(key, int(n) * 1009 + int(k)),
+                    num_tasks, int(n), int(k),
+                )
+                point["accuracy"] = acc
+                point["stderr"] = float(
+                    np.sqrt(max(acc * (1.0 - acc), 1e-12) / num_tasks)
+                )
+            results.append(point)
+    return results
