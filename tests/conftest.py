@@ -22,6 +22,16 @@ if _platform == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache: the suite is compile-bound on the
+    # single-core CPU mesh, and test programs are identical across runs —
+    # steady-state dev-loop runs skip most compiles. Keyed by HLO+flags, so
+    # code changes re-compile exactly what they touch. Override the location
+    # (or disable with an empty value) via VOICEMAP_TEST_CACHE.
+    _cache = os.environ.get("VOICEMAP_TEST_CACHE", "/tmp/voicemap_xla_cache")
+    if _cache:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 else:
     import jax
 
@@ -67,3 +77,20 @@ def dataset(corpus_root):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast-tier marking: node IDs listed in tests/slow_tests.txt get the
+    ``slow`` marker (in addition to any inline ``@pytest.mark.slow``), so
+    the inner dev loop can run ``-m "not slow"`` in ≤5 min while the full
+    suite stays the pre-commit bar. See slow_tests.txt for the criterion."""
+    listed = set()
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                listed.add(line)
+    for item in items:
+        if item.nodeid.replace(os.sep, "/") in listed:
+            item.add_marker(pytest.mark.slow)
