@@ -47,7 +47,7 @@ def parse_args():
     p.add_argument("--int8", action="store_true",
                    help="serve blocks 1+ of the encoder int8-quantized "
                         "(post-training, calibrated on the first batch; "
-                        "raw-waveform modes only — see models/quant_infer.py)")
+                        "all modes — see models/quant_infer.py)")
     p.add_argument("--save-qvars", default=None, metavar="PATH",
                    help="persist the calibrated int8 artifact (.npz) for "
                         "calibration-free serving (implies --int8)")
@@ -178,8 +178,6 @@ def main():
 
     qvars = None
     if args.int8 or args.qvars or args.save_qvars:
-        if args.mode == "melspec2d":
-            raise SystemExit("--int8 supports raw-waveform encoders only")
         from voicemap_tpu.models.quant_infer import (
             load_qvars, quantize_from_store, save_qvars,
         )

@@ -42,8 +42,8 @@ def parse_args():
     p.add_argument("--int8", action="store_true",
                    help="embed through the int8 PTQ serving path (blocks 1+ "
                         "s8×s8→s32, calibrated on the eval store) — the "
-                        "deployment accuracy-parity run; raw-waveform modes "
-                        "only (see models/quant_infer.py)")
+                        "deployment accuracy-parity run; melspec2d runs the "
+                        "full conv2d stack in int8 — models/quant_infer.py)")
     p.add_argument("--qvars", default=None, metavar="PATH",
                    help="load a saved int8 artifact (experiments/embed.py "
                         "--save-qvars) instead of calibrating; evaluates the "
@@ -175,8 +175,8 @@ def main():
     else:
         print("WARNING: evaluating an untrained (random-init) model")
 
-    if (args.int8 or args.qvars) and args.mode == "melspec2d":
-        raise SystemExit("--int8 supports raw-waveform encoders only")
+    # --int8 supports all three modes: blocks 1+ for the raw-waveform
+    # encoders, the full conv2d stack for melspec2d (quant_embed_mel).
     if args.qvars and args.protocol:
         raise SystemExit(
             "--qvars is for the ad-hoc path; --protocol --int8 calibrates "

@@ -179,7 +179,8 @@ def test_embed_all_int8_path(corpus_root):
     assert _cosine(np.asarray(out), np.asarray(ref)).min() > 0.99
 
     melspec_cfg = dataclasses.replace(cfg, mode="melspec2d")
-    with pytest.raises(ValueError, match="raw-waveform"):
+    # A wave artifact must not serve the melspec2d mode (kind mismatch).
+    with pytest.raises(ValueError, match="artifact kind"):
         nshot.embed_all(model, state, store, melspec_cfg, qvars=qvars)
 
 
@@ -245,3 +246,58 @@ def test_quantize_rejects_single_block():
     _, variables, x = _make(cfg, seed=6, t=256)
     with pytest.raises(ValueError, match="at least 2"):
         quantize_encoder(variables, cfg, x)
+
+
+def test_quant_embed_mel_close_to_f32():
+    """config #4 int8 path (quant_embed_mel): all conv2d blocks in
+    s8×s8→s32 with folded epilogues track the flax MelSpecEncoder embed
+    within quantization error; artifacts round-trip with kind='mel'."""
+    from voicemap_tpu.config import MelConfig
+    from voicemap_tpu.models.quant_infer import (
+        load_qvars, quant_embed_mel, quantize_mel_encoder, save_qvars,
+    )
+    from voicemap_tpu.models.spectrogram import MelSpecEncoder
+
+    cfg = EncoderConfig(filters=16, embedding_dim=32, dropout=0.0, **F32)
+    mel = MelConfig(hop_length=128, win_length=384)
+    model = MelSpecEncoder(cfg, mel)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 8192, 1)) * 0.1,
+        jnp.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = quantize_mel_encoder(variables, cfg, mel, x)
+    assert qvars["kind"] == "mel"
+    assert len(qvars["blocks"]) == len(cfg.filter_multipliers)
+    ref = model.apply(variables, x, train=False)
+    out = quant_embed_mel(variables, qvars, cfg, mel, x)
+    cos = _cosine(out, ref)
+    assert cos.min() > 0.99, cos
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref), axis=-1)
+           / (np.linalg.norm(np.asarray(ref), axis=-1) + 1e-12))
+    assert rel.max() < 0.12, rel
+
+    # Artifact round trip preserves the mel kind and the embedding bits.
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "q.npz")
+        save_qvars(path, qvars)
+        q2 = load_qvars(path)
+        assert q2.get("kind") == "mel"
+        out2 = quant_embed_mel(variables, q2, cfg, mel, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_quant_kind_mode_mismatch_raises():
+    """embed_all refuses a wave artifact for melspec2d and vice versa."""
+    import dataclasses
+
+    from voicemap_tpu.config import DataConfig, ExperimentConfig
+    from voicemap_tpu.eval import nshot
+
+    cfg = EncoderConfig(filters=8, embedding_dim=16, dropout=0.0, **F32)
+    model, variables, x = _make(cfg, seed=4, t=512)
+    qvars = quantize_encoder(variables, cfg, x)  # wave artifact, no 'kind'
+    exp = ExperimentConfig(mode="melspec2d", data=DataConfig(), encoder=cfg)
+    with pytest.raises(ValueError, match="artifact kind"):
+        nshot.embed_all(None, None, None, exp, qvars=qvars)

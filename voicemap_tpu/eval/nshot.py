@@ -68,7 +68,7 @@ def _quant_embed_chunk_fn(cfg: ExperimentConfig, qvars):
     """int8 serving chunk embedder (models/quant_infer). Unlike
     `_embed_chunk_fn` this closes over the quantized arrays, so the jit cache
     lives per-qvars — fine for the one-shot serving CLIs it exists for."""
-    from ..models.quant_infer import quant_embed
+    from ..models.quant_infer import quant_embed, quant_embed_mel
 
     @jax.jit
     def embed_chunk(st: TrainState, sto: DeviceStore, indices: jnp.ndarray):
@@ -77,6 +77,9 @@ def _quant_embed_chunk_fn(cfg: ExperimentConfig, qvars):
             "params": st.params["encoder"],
             "batch_stats": st.batch_stats["encoder"],
         }
+        if cfg.mode == "melspec2d":
+            return quant_embed_mel(enc_vars, qvars, cfg.encoder, cfg.mel, x,
+                                   sample_rate=cfg.data.sample_rate)
         return quant_embed(enc_vars, qvars, cfg.encoder, x)
 
     return embed_chunk
@@ -93,12 +96,19 @@ def embed_all(
 ) -> jnp.ndarray:
     """Embed every utterance in the store → (N, D) table (chunked, jitted).
 
-    ``qvars`` (from ``models/quant_infer.quantize_encoder``) switches blocks
-    1+ of the encoder to the s8×s8→s32 serving path (raw-waveform modes only).
+    ``qvars`` (from ``models/quant_infer.quantize_encoder`` /
+    ``quantize_mel_encoder``) switches the encoder's conv blocks to the
+    s8×s8→s32 serving path (blocks 1+ for raw-waveform modes, all conv2d
+    blocks for melspec2d).
     """
     if qvars is not None:
-        if cfg.mode not in ("classifier", "siamese"):
-            raise ValueError("int8 path supports raw-waveform encoders only")
+        if cfg.mode not in ("classifier", "siamese", "melspec2d"):
+            raise ValueError(f"int8 path does not support mode {cfg.mode!r}")
+        if (cfg.mode == "melspec2d") != (qvars.get("kind") == "mel"):
+            raise ValueError(
+                "qvars artifact kind does not match cfg.mode (mel artifacts "
+                "serve melspec2d; wave artifacts serve classifier/siamese)"
+            )
         embed_chunk = _quant_embed_chunk_fn(cfg, qvars)
     else:
         embed_chunk = _embed_chunk_fn(model, cfg, fast)
@@ -118,7 +128,7 @@ def _embed_frags_fn(model, cfg: ExperimentConfig, fast: bool, qvars):
     from ..train.steps import preprocess_fragments
 
     if qvars is not None:
-        from ..models.quant_infer import quant_embed
+        from ..models.quant_infer import quant_embed, quant_embed_mel
 
         @jax.jit
         def embed_chunk(st: TrainState, frags: jnp.ndarray):
@@ -127,6 +137,9 @@ def _embed_frags_fn(model, cfg: ExperimentConfig, fast: bool, qvars):
                 "params": st.params["encoder"],
                 "batch_stats": st.batch_stats["encoder"],
             }
+            if cfg.mode == "melspec2d":
+                return quant_embed_mel(enc_vars, qvars, cfg.encoder, cfg.mel,
+                                       x, sample_rate=cfg.data.sample_rate)
             return quant_embed(enc_vars, qvars, cfg.encoder, x)
 
         return embed_chunk

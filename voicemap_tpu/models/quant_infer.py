@@ -164,6 +164,9 @@ def quantize_from_store(state, cfg, store, n_cal: int = 256) -> Dict:
                         jax.random.PRNGKey(0), cfg, stochastic=False)
     enc_vars = {"params": state.params["encoder"],
                 "batch_stats": state.batch_stats["encoder"]}
+    if cfg.mode == "melspec2d":
+        return quantize_mel_encoder(enc_vars, cfg.encoder, cfg.mel, x_cal,
+                                    sample_rate=cfg.data.sample_rate)
     return quantize_encoder(enc_vars, cfg.encoder, x_cal)
 
 
@@ -175,6 +178,9 @@ def quantize_from_frags(state, cfg, frags) -> Dict:
     x_cal = preprocess_fragments(jnp.asarray(frags), cfg)
     enc_vars = {"params": state.params["encoder"],
                 "batch_stats": state.batch_stats["encoder"]}
+    if cfg.mode == "melspec2d":
+        return quantize_mel_encoder(enc_vars, cfg.encoder, cfg.mel, x_cal,
+                                    sample_rate=cfg.data.sample_rate)
     return quantize_encoder(enc_vars, cfg.encoder, x_cal)
 
 
@@ -188,7 +194,8 @@ def save_qvars(path: str, qvars: Dict) -> None:
     import numpy as np
 
     arrs = {"s0": np.asarray(qvars["s0"]),
-            "n_blocks": np.asarray(len(qvars["blocks"]), np.int32)}
+            "n_blocks": np.asarray(len(qvars["blocks"]), np.int32),
+            "kind": np.asarray(qvars.get("kind", "wave"))}
     for i, blk in enumerate(qvars["blocks"]):
         for k, v in blk.items():
             arrs[f"block{i}_{k}"] = np.asarray(v)
@@ -207,7 +214,11 @@ def load_qvars(path: str) -> Dict:
                 k: jnp.asarray(z[f"block{i}_{k}"])
                 for k in ("w_q", "alpha", "beta", "gamma")
             })
-        return {"s0": jnp.asarray(z["s0"]), "blocks": blocks}
+        out = {"s0": jnp.asarray(z["s0"]), "blocks": blocks}
+        kind = str(z["kind"]) if "kind" in z else "wave"
+        if kind == "mel":
+            out["kind"] = "mel"
+        return out
 
 
 def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype):
@@ -265,6 +276,148 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
                            cfg.dilations[i], last=(i == n - 1),
                            out_dtype=cdt)
     h = jnp.max(h_q, axis=1)
+    emb = params["embed"]
+    out = h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# config #4 (log-mel frontend + 2D CNN, models/spectrogram.py) int8 serving
+# ---------------------------------------------------------------------------
+# Same scheme as the 1D path above, adapted to the 2D stack: the param-free
+# mel frontend stays f32 (FFT work, not a GEMM), the standardized log-mel
+# image is quantized ONCE with a calibrated per-tensor scale, and all four
+# conv2d blocks run s8×s8→s32 with the fused requantizing epilogue. The 2×2
+# max-pool runs on the int8 tensor (monotone per channel, commutes exactly).
+# Unlike the 1D path there is no Pallas block-0 special case — the image's
+# Cin=1 conv is just another quantized GEMM.
+
+
+def _mel_image(x: jnp.ndarray, mel_cfg, sample_rate: int) -> jnp.ndarray:
+    """Waveform (B, T, 1) → standardized log-mel image (B, F, M, 1), f32.
+
+    Functional replica of ``models/spectrogram.py::MelFrontend`` (which is
+    parameter-free), kept here so the quant path needs no flax apply."""
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_melspec import pallas_log_mel
+
+        m = pallas_log_mel(x, mel_cfg, sample_rate)
+    else:
+        from ..ops import melspec
+
+        m = melspec.log_mel_spectrogram(x, mel_cfg, sample_rate)
+    mean = jnp.mean(m, axis=(1, 2), keepdims=True)
+    std = jnp.std(m, axis=(1, 2), keepdims=True)
+    return ((m - mean) / (std + 1e-5))[..., None]
+
+
+def _pool2d(y: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """flax ``nn.max_pool((p,p),(p,p))`` VALID semantics on any dtype."""
+    if pool <= 1:
+        return y
+    B, F, M, C = y.shape
+    f2, m2 = F // pool, M // pool
+    y = y[:, : f2 * pool, : m2 * pool]
+    return y.reshape(B, f2, pool, m2, pool, C).max(axis=(2, 4))
+
+
+def _mel_block_infer(img, blk, bst, eps, cdt):
+    """Inference-mode Conv2DBlock (conv→relu→BN affine→pool2), bf16 ref."""
+    w = blk["conv"]["kernel"].astype(cdt)
+    z = jax.lax.conv_general_dilated(
+        img.astype(cdt), w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + blk["conv"]["bias"].astype(cdt)
+    a = jax.nn.relu(z)
+    g, h = _bn_affine(blk, bst, eps)
+    y = (a.astype(jnp.float32) * g + h).astype(cdt)
+    return _pool2d(y, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mel_cfg", "sample_rate",
+                                             "headroom"))
+def _calib_sweep_mel(params, stats, x, cfg: EncoderConfig, mel_cfg,
+                     sample_rate: int, headroom: float):
+    cdt = _DTYPES[cfg.compute_dtype]
+    img = _mel_image(x, mel_cfg, sample_rate)
+    out = [jnp.maximum(jnp.max(jnp.abs(img)) * headroom, 1e-8) / 127.0]
+    h = img
+    for i in range(len(cfg.filter_multipliers)):
+        h = _mel_block_infer(h, params[f"block_{i}"], stats[f"block_{i}"]["bn"],
+                             cfg.bn_epsilon, cdt)
+        if i < len(cfg.filter_multipliers) - 1:
+            amax = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1, 2))
+            out.append(jnp.maximum(amax * headroom, 1e-8) / 127.0)
+    return out
+
+
+def quantize_mel_encoder(variables: Dict, cfg: EncoderConfig, mel_cfg,
+                         x_calib: jnp.ndarray, sample_rate: int = 16000) -> Dict:
+    """Fold + quantize ALL conv2d blocks of a trained mel encoder.
+
+    Returns a qvars dict (``kind='mel'``) consumed by :func:`quant_embed_mel`.
+    ``scales[0]`` is the per-tensor image scale (the standardized log-mel
+    image is channel-less); blocks fold exactly like the 1D path with the
+    kernel's extra spatial axis."""
+    n = len(cfg.filter_multipliers)
+    params, stats = variables["params"], variables["batch_stats"]
+    scales = [jax.device_get(s) for s in _calib_sweep_mel(
+        params, stats, x_calib, cfg=cfg, mel_cfg=mel_cfg,
+        sample_rate=sample_rate, headroom=1.0)]
+    blocks = []
+    for i in range(n):
+        blk = params[f"block_{i}"]
+        bst = stats[f"block_{i}"]["bn"]
+        w = blk["conv"]["kernel"].astype(jnp.float32)  # (kh, kw, Cin, Cout)
+        b = blk["conv"]["bias"].astype(jnp.float32)
+        s_in = jnp.atleast_1d(jnp.asarray(scales[i], jnp.float32))  # (Cin,)|(1,)
+        w_f = w * s_in[None, None, :, None]
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_f), axis=(0, 1, 2)), 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w_f / s_w[None, None, None, :]), -127, 127
+                       ).astype(jnp.int8)
+        g, h = _bn_affine(blk, bst, cfg.bn_epsilon)
+        beta = b / s_w
+        if i < n - 1:
+            s_out = jnp.asarray(scales[i + 1], jnp.float32)
+            alpha = s_w * g / s_out
+            gamma = h / s_out
+        else:
+            alpha = s_w * g
+            gamma = h
+        blocks.append({"w_q": w_q, "alpha": alpha, "beta": beta,
+                       "gamma": gamma})
+    return {"kind": "mel", "s0": jnp.asarray(scales[0], jnp.float32),
+            "blocks": blocks}
+
+
+def _quant_block2d(x_q, qblk, pool, *, last, out_dtype):
+    acc = jax.lax.conv_general_dilated(
+        x_q, qblk["w_q"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    z = (jax.nn.relu(acc.astype(jnp.float32) + qblk["beta"]) * qblk["alpha"]
+         + qblk["gamma"])
+    if last:
+        y = z.astype(out_dtype)
+    else:
+        y = jnp.clip(jnp.round(z), -127, 127).astype(jnp.int8)
+    return _pool2d(y, pool)
+
+
+def quant_embed_mel(variables: Dict, qvars: Dict, cfg: EncoderConfig,
+                    mel_cfg, x: jnp.ndarray,
+                    sample_rate: int = 16000) -> jnp.ndarray:
+    """(B, T, 1) float32 → (B, embedding_dim) float32, int8 conv2d stack."""
+    params = variables["params"]
+    cdt = _DTYPES[cfg.compute_dtype]
+    img = _mel_image(x, mel_cfg, sample_rate)
+    h_q = jnp.clip(jnp.round(img / qvars["s0"]), -127, 127).astype(jnp.int8)
+    n = len(cfg.filter_multipliers)
+    for i in range(n):
+        h_q = _quant_block2d(h_q, qvars["blocks"][i], 2, last=(i == n - 1),
+                             out_dtype=cdt)
+    h = jnp.max(h_q, axis=(1, 2))
     emb = params["embed"]
     out = h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)
     return out.astype(jnp.float32)
