@@ -45,13 +45,13 @@ def _dataset():
                           data_root=ROOT, seed=0)
 
 
-def _build(ds, batch, fused, dropout=0.05, blockn=None):
+def _build(ds, batch, fused, dropout=0.05, blockn=None, quant="none"):
     cfg = ExperimentConfig(
         mode="classifier",
         data=DataConfig(data_root=ROOT, seconds=3.0, downsampling=4),
         encoder=EncoderConfig(dropout=dropout),
         train=TrainConfig(batch_size=batch, use_fused_block0=fused,
-                          use_fused_blockn=blockn),
+                          use_fused_blockn=blockn, quant_forward=quant),
     )
     store = steps_mod.device_store_for(cfg, ds.to_store())
     model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
@@ -85,6 +85,26 @@ def sweep(batches=(32, 256, 1024, 2048)):
                   f"{B/res[name]:.0f} utt/s", flush=True)
         print(f"B={B} speedup vs flax: b0 {res['flax']/res['fused_b0']:.2f}x, "
               f"auto {res['flax']/res['fused_auto']:.2f}x", flush=True)
+
+
+def quant_sweep(batches=(32, 256, 1024, 2048)):
+    """int8 training-forward experiment (VERDICT r3 next #3): the production
+    auto policy vs the same step with blocks-1+ forward convs in s8×s8→s32
+    (TrainConfig.quant_forward='int8', straight-through backward)."""
+    ds = _dataset()
+    for B in batches:
+        res = {}
+        variants = [("auto_bf16", True, None, "none"),
+                    ("int8_fwd", True, None, "int8")]
+        for name, fused, blkn, q in variants:
+            _, store, _, state, step = _build(ds, B, fused, blockn=blkn,
+                                              quant=q)
+            res[name] = _time_step(step, state, store, B,
+                                   iters=30 if B <= 256 else 10)
+            print(f"B={B} {name}: {res[name]*1e3:.3f} ms/step = "
+                  f"{B/res[name]:.0f} utt/s", flush=True)
+        print(f"B={B} int8 fwd speedup vs auto: "
+              f"{res['auto_bf16']/res['int8_fwd']:.2f}x", flush=True)
 
 
 def ablate(B=2048):
@@ -174,6 +194,10 @@ if __name__ == "__main__":
         bs = (tuple(int(b) for b in sys.argv[2].split(","))
               if len(sys.argv) > 2 else (32, 256, 1024, 2048))
         sweep(bs)
+    elif part == "quant":
+        bs = (tuple(int(b) for b in sys.argv[2].split(","))
+              if len(sys.argv) > 2 else (32, 256, 1024, 2048))
+        quant_sweep(bs)
     elif part == "ablate":
         ablate()
     elif part == "blocks":

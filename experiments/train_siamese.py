@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--k-way", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--quant-forward", default="none",
+                   choices=["none", "int8"],
+                   help="EXPERIMENT: blocks-1+ forward convs in s8*s8->s32 "
+                        "with in-step dynamic scales (straight-through "
+                        "backward); re-validate accuracy per config")
     p.add_argument("--fused-block0", default="auto",
                    choices=["auto", "on", "off"],
                    help="fused block-0 train step (custom VJP + Pallas cores); "
@@ -122,6 +127,7 @@ def main():
                                    else args.pallas_preprocess == "on"),
             use_fused_block0=(None if args.fused_block0 == "auto"
                               else args.fused_block0 == "on"),
+            quant_forward=args.quant_forward,
             checkpoint_dir=args.checkpoint_dir,
             log_path=args.log_path or os.path.join("logs", "siamese", "metrics.jsonl"),
         ),

@@ -331,3 +331,100 @@ def test_encoder_train_forward_blockn_fused_matches_jnp():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_blockn_int8_forward_close_with_ste_grads():
+    """quant='int8' (the int8 training-forward experiment): the forward
+    runs s8×s8→s32 with in-step dynamic scales, so values track the f32
+    block within quantization error and the straight-through grads track
+    the f32 grads loosely; invalid variants raise."""
+    from voicemap_tpu.ops.conv_train import make_fused_blockn_train
+
+    Cin, Cout, k, Bn, Tn, pool = 6, 16, 3, 4, 64, 2
+    blk = ConvBlock(
+        features=Cout, kernel_size=k, pool_size=pool, dropout=0.0,
+        compute_dtype=jnp.float32, param_dtype=jnp.float32,
+        bn_momentum=0.99, bn_epsilon=EPS,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (Bn, Tn, Cin), jnp.float32)
+    variables = blk.init(jax.random.PRNGKey(0), x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    params["bn"]["scale"] = params["bn"]["scale"].at[::3].set(-1.3)
+
+    with pytest.raises(ValueError):
+        make_fused_blockn_train(pool, EPS, quant="int8", save_act=False)
+    with pytest.raises(ValueError):
+        make_fused_blockn_train(pool, EPS, quant="fp8")
+
+    ref = make_fused_blockn_train(pool, EPS, gemm_dtype="float32",
+                                  sel_dtype="float32")
+    q = make_fused_blockn_train(pool, EPS, gemm_dtype="float32",
+                                sel_dtype="float32", quant="int8")
+    gw = jax.random.normal(jax.random.PRNGKey(6), (Bn, Tn // pool, Cout))
+
+    def loss(fn, p, x):
+        out, mu, var = fn(x, p["conv"]["kernel"], p["conv"]["bias"],
+                          p["bn"]["scale"], p["bn"]["bias"])
+        return jnp.sum(out * gw), (out, mu, var)
+
+    (lr, (yr, mur, varr)), gr = jax.value_and_grad(
+        lambda p: loss(ref, p, x), has_aux=True)(params)
+    (lq, (yq, muq, varq)), gq = jax.value_and_grad(
+        lambda p: loss(q, p, x), has_aux=True)(params)
+    # Values: within symmetric-int8 quantization error of the f32 block.
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(yr),
+                               rtol=0.1, atol=0.15)
+    np.testing.assert_allclose(np.asarray(muq), np.asarray(mur), atol=0.05)
+    # STE grads track the f32 grads loosely (same structure, quantized act).
+    for path in [("conv", "kernel"), ("conv", "bias"),
+                 ("bn", "scale"), ("bn", "bias")]:
+        a, b = (np.asarray(gq[path[0]][path[1]]),
+                np.asarray(gr[path[0]][path[1]]))
+        denom = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.25, path
+    # Determinism: two evaluations bit-identical (scales are pure functions
+    # of the batch).
+    (lq2, _), _ = jax.value_and_grad(
+        lambda p: loss(q, p, x), has_aux=True)(params)
+    assert float(lq) == float(lq2)
+
+
+def test_encoder_train_forward_blockn_int8_runs():
+    """Whole-encoder int8-forward experiment path: blockn='fused_int8'
+    produces a close loss and finite grads; resolve_blockn honors the
+    quant_forward knob."""
+    from voicemap_tpu.config import (
+        DataConfig, EncoderConfig, ExperimentConfig, TrainConfig,
+    )
+    from voicemap_tpu.models import fused_train
+    from voicemap_tpu.models.classifier import SpeakerClassifier
+    from voicemap_tpu.train.steps import resolve_blockn
+
+    cfg = ExperimentConfig(train=TrainConfig(quant_forward="int8"))
+    assert resolve_blockn(cfg) == "fused_int8"
+    with pytest.raises(ValueError):
+        resolve_blockn(ExperimentConfig(train=TrainConfig(
+            quant_forward="fp8")))
+
+    enc = EncoderConfig(filters=4, embedding_dim=8, dropout=0.0,
+                        compute_dtype="float32")
+    model = SpeakerClassifier(enc, num_classes=5)
+    T = 256
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, T, 1), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 3])
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    def loss(p, blockn):
+        logits, _ = fused_train.classifier_train_forward(
+            p, bs, enc, x, None, impl="xla", blockn=blockn)
+        import optax
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, "jnp"))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, "fused_int8"))(params)
+    assert abs(float(l2) - float(l1)) < 0.2 * max(abs(float(l1)), 1.0)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.all(np.isfinite(np.asarray(b)))
+        # same order of magnitude as the f32 grads
+        assert np.abs(np.asarray(b)).max() < 50 * (np.abs(np.asarray(a)).max() + 1e-6)

@@ -150,6 +150,13 @@ class TrainConfig:
     # (ops/conv_train.py::make_fused_blockn_train): pool-rate residuals,
     # conv recomputed in backward. None = auto (same gate as block 0).
     use_fused_blockn: Optional[bool] = None
+    # EXPERIMENT (int8 training forward): "int8" runs blocks-1+ FORWARD
+    # convs in s8×s8→s32 with in-step dynamic symmetric scales and a
+    # straight-through backward (ops/conv_train.py ``quant``). Overrides
+    # the blocks-1+ auto policy to the fused save-act path wherever a block
+    # is eligible. Accuracy must be re-validated per config — see
+    # BASELINE.md's int8-train rows. "none" = production bf16 forward.
+    quant_forward: str = "none"
     # Refuse (instead of warn) when n-shot eval would gate the best
     # checkpoint / plateau LR on the TRAINING store because no val_subsets
     # are configured. The reference's protocol is held-out dev-clean with

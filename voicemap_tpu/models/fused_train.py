@@ -83,7 +83,8 @@ def _jnp_block_train(x, blk, bst, *, pool, dilation, eps, momentum, dropout,
 
 def _fused_block_train(x, blk, bst, *, pool, dilation, eps, momentum,
                        dropout, drop_key, cdt, save_act=True,
-                       pallas_routing=False, interpret=False):
+                       pallas_routing=False, interpret=False,
+                       quant="none"):
     """Blocks-1+ train step through the custom-VJP affine-folded op.
 
     Same semantics as ``_jnp_block_train`` with dropout commuted to pool
@@ -108,6 +109,7 @@ def _fused_block_train(x, blk, bst, *, pool, dilation, eps, momentum,
         save_act=save_act,
         routing="pallas" if use_pallas else "xla",
         interpret=interpret,
+        quant=quant,
     )
     T = x.shape[1]
     if pool > 1 and T % pool:
@@ -152,7 +154,10 @@ def encoder_train_forward(
     save-act variant, lane-view/argmax-index pooling); ``"fused_recompute"``
     = its pool-rate-residual variant (conv recomputed in backward);
     ``"fused_pallas"`` = experimental Mosaic pool/routing kernels (see the
-    negative-result note at the call site)."""
+    negative-result note at the call site); ``"fused_int8"`` = save-act
+    variant with the forward conv in s8×s8→s32 and a straight-through
+    backward (the int8 training-forward experiment — see
+    ops/conv_train.py::make_fused_blockn_train's ``quant``)."""
     cdt = _DTYPES[cfg.compute_dtype]
     if cfg.dropout > 0.0 and dropout_key is None:
         raise ValueError("dropout_key required when cfg.dropout > 0")
@@ -199,7 +204,8 @@ def encoder_train_forward(
         # stats over full T, truncate only at the pool — see
         # _fused_block_train's ValueError).
         fused_ok = (
-            blockn in ("fused", "fused_recompute", "fused_pallas")
+            blockn in ("fused", "fused_recompute", "fused_pallas",
+                       "fused_int8")
             and i >= 1
             and (cfg.pool_sizes[i] <= 1 or h.shape[1] % cfg.pool_sizes[i] == 0)
         )
@@ -219,6 +225,7 @@ def encoder_train_forward(
                 cdt=cdt, save_act=(blockn != "fused_recompute"),
                 pallas_routing=(blockn == "fused_pallas"),
                 interpret=interpret,
+                quant=("int8" if blockn == "fused_int8" else "none"),
             )
         else:
             h, new_bn = _jnp_block_train(

@@ -133,6 +133,7 @@ def make_fused_blockn_train(
     save_act: bool = True,
     routing: str = "xla",
     interpret: bool = False,
+    quant: str = "none",
 ):
     """Custom-VJP conv+relu+BN(train)+maxpool for MID-NETWORK blocks (Cin>1).
 
@@ -172,6 +173,16 @@ def make_fused_blockn_train(
     activation exactly once each — XLA's emission of the same lane-view
     chain still measures ~3–4× above the HBM bound. The convolutions stay
     with XLA either way.
+
+    ``quant='int8'`` (requires ``save_act``, ``routing='xla'``) runs the
+    FORWARD conv in s8×s8→s32 with in-step dynamic symmetric scales
+    (per-tensor input amax, per-out-channel weight amax) — the training-
+    forward analog of the int8 serving path. The backward is a straight-
+    through estimator: dW/dX GEMMs use the real (unquantized) ``x``/``w``
+    in gemm_dtype, while the routing/gating/c2·a chain reads the saved
+    DEQUANTIZED activation, so the pool selection stays forward-consistent.
+    Accuracy must be re-validated per config (see BASELINE.md's int8-train
+    row); this is an opt-in experiment knob, not the default.
     """
     dtype = jnp.dtype(gemm_dtype)
     sdt = jnp.dtype(sel_dtype)
@@ -179,6 +190,14 @@ def make_fused_blockn_train(
         raise ValueError(routing)
     if routing == "pallas" and not save_act:
         raise ValueError("routing='pallas' requires save_act=True")
+    if quant not in ("none", "int8"):
+        raise ValueError(quant)
+    if quant == "int8" and (not save_act or routing != "xla"):
+        # The int8 forward's dequantized activation must be the SAME tensor
+        # the backward routes/gates on (save-act residual); a recompute
+        # variant would re-derive the unquantized activation and silently
+        # diverge from the forward's pool selection.
+        raise ValueError("quant='int8' requires save_act=True, routing='xla'")
 
     def conv_f32acc(x, w):
         """Fast-path conv: dtype operands, f32 accumulation (MXU-native)."""
@@ -228,10 +247,38 @@ def make_fused_blockn_train(
                 a, sgn, pool, sel_dtype=sdt, interpret=interpret)
             idx = None
         elif save_act:
-            # Activation in gemm_dtype (= flax's conv output dtype); f32
-            # accumulation happens inside the stat reductions.
-            a = jax.nn.relu(conv_uni(x.astype(dtype), w.astype(dtype))
-                            + b.astype(dtype))
+            if quant == "int8":
+                # Dynamic symmetric quantization (VERDICT r3 next #3): the
+                # forward conv runs s8×s8→s32 on the MXU's double-rate int8
+                # path (the serving path's lowering, models/quant_infer.py::
+                # _quant_block). Scales are derived IN-STEP — per-tensor
+                # input scale from this batch's amax, per-out-channel weight
+                # scales from the current weights — so no calibration state
+                # threads through the train loop. The dequantized activation
+                # below is the block's ONLY activation: stats, pool routing,
+                # and the saved backward residual all see the same tensor.
+                wf = w.astype(jnp.float32)
+                sw = jnp.maximum(
+                    jnp.max(jnp.abs(wf), axis=(0, 1)) / 127.0, 1e-12)
+                sx = jnp.maximum(
+                    jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12)
+                qx = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                              -127, 127).astype(jnp.int8)
+                qw = jnp.clip(jnp.round(wf / sw), -127, 127).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    qx, qw, (1,), "SAME", rhs_dilation=(dilation,),
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                a = jax.nn.relu(
+                    acc.astype(jnp.float32) * (sx * sw)
+                    + b.astype(jnp.float32)
+                ).astype(dtype)
+            else:
+                # Activation in gemm_dtype (= flax's conv output dtype); f32
+                # accumulation happens inside the stat reductions.
+                a = jax.nn.relu(conv_uni(x.astype(dtype), w.astype(dtype))
+                                + b.astype(dtype))
             af = a.astype(jnp.float32)
             sum_a = jnp.sum(af, axis=(0, 1))
             sumsq_a = jnp.sum(af * af, axis=(0, 1))

@@ -84,6 +84,16 @@ def resolve_blockn(cfg: ExperimentConfig) -> str:
     saves, the same verdict as round 2's remat experiment). So: fused when
     it fits, autodiff when it doesn't.
     """
+    if cfg.train.quant_forward == "int8":
+        # Explicit experiment opt-in: the int8 forward lives in the fused
+        # save-act op, so it overrides the auto/size gates below (blocks
+        # whose T % pool != 0 still fall back per-block in fused_train).
+        return "fused_int8"
+    if cfg.train.quant_forward != "none":
+        raise ValueError(
+            f"TrainConfig.quant_forward must be 'none' or 'int8', "
+            f"got {cfg.train.quant_forward!r}"
+        )
     flag = cfg.train.use_fused_blockn
     if flag is not None:
         return "fused" if flag else "jnp"
