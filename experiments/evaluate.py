@@ -112,6 +112,9 @@ def plot_sweep(results, out_png, subsets):
     ax.set_title(f"n-shot speaker ID accuracy vs k — {', '.join(subsets)}",
                  color="#0b0b0b", fontsize=11)
     ax.set_ylim(0.0, 1.02)
+    from matplotlib.ticker import MaxNLocator
+
+    ax.xaxis.set_major_locator(MaxNLocator(integer=True))
     ax.grid(True, color="#e6e5e1", lw=0.6)
     for spine in ax.spines.values():
         spine.set_color("#c3c2b7")
