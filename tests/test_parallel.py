@@ -780,3 +780,25 @@ def test_gpipe_real_grads_match_sequential():
     np.testing.assert_allclose(
         np.asarray(grads), np.asarray(pack(g_seq)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_pod_evaluate_int8_matches_single_device(mesh8, dp_store, corpus_root):
+    """Pod-sharded embed table through the int8 serving path == single-device
+    int8 eval bit-for-bit (deterministic per-index embeds + same task key) —
+    config #5's eval path composed with the serving quantization."""
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.models.quant_infer import quantize_from_store
+    from voicemap_tpu.parallel.pod_eval import pod_evaluate
+
+    store, ds = dp_store
+    cfg = _dp_cfg(corpus_root, "classifier")
+    model = SpeakerClassifier(cfg.encoder, num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+    qvars = quantize_from_store(state, cfg, store, n_cal=16)
+    key = jax.random.PRNGKey(17)
+    acc_pod = pod_evaluate(model, state, store, cfg, mesh8, key,
+                           num_tasks=160, n=1, k=3, qvars=qvars)
+    acc_single = nshot.evaluate(model, state, store, cfg, key,
+                                num_tasks=160, n=1, k=3, embed_batch=16,
+                                qvars=qvars)
+    assert abs(acc_pod - acc_single) < 1e-6, (acc_pod, acc_single)

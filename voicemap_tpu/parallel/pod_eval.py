@@ -34,18 +34,33 @@ from ..train.steps import DeviceStore, fetch_batch
 
 
 def make_sharded_embed_table_fn(model, cfg: ExperimentConfig, mesh: Mesh,
-                                axis: str = "data"):
+                                axis: str = "data", qvars=None):
     """jit(shard_map): (state, store, indices (N_pad,)) → (N_pad, D) table.
 
     ``indices`` must be padded to a multiple of the axis size (clamp-pad with
-    any valid id; callers slice the result).
+    any valid id; callers slice the result). ``qvars`` (models/quant_infer)
+    runs each device's embed shard through the int8 serving path — the
+    pod-scale form of ``eval/nshot.embed_all(qvars=...)``; the quantized
+    weights close over the program and replicate like the model params.
     """
 
     def device_embed(state: TrainState, store: DeviceStore, indices):
         x = fetch_batch(store, indices, jax.random.PRNGKey(0), cfg,
                         stochastic=False)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        local = model.apply(variables, x, train=False, method=model.embed)
+        if qvars is not None:
+            from ..models.quant_infer import quant_embed, quant_embed_mel
+
+            enc_vars = {"params": state.params["encoder"],
+                        "batch_stats": state.batch_stats["encoder"]}
+            if cfg.mode == "melspec2d":
+                local = quant_embed_mel(enc_vars, qvars, cfg.encoder, cfg.mel,
+                                        x, sample_rate=cfg.data.sample_rate)
+            else:
+                local = quant_embed(enc_vars, qvars, cfg.encoder, x)
+        else:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            local = model.apply(variables, x, train=False, method=model.embed)
         return jax.lax.all_gather(local, axis, axis=0, tiled=True)
 
     return jax.jit(
@@ -171,13 +186,16 @@ def pod_evaluate(
     n: Optional[int] = None,
     k: Optional[int] = None,
     axis: str = "data",
+    qvars=None,
 ) -> float:
     """Full pod-scale n-shot evaluation.
 
     Mirrors ``eval/nshot.evaluate``'s mode selection: siamese configs with a
     trained verification head score through the sharded head-logit matrix
     (``make_sharded_siamese_scorer``); classifier / contrastive configs score
-    by embedding euclidean distance.
+    by embedding euclidean distance. ``qvars`` builds the table through the
+    int8 serving path (deterministic per index, so the table — and therefore
+    the accuracy at a given key — is bit-identical to single-device int8).
     """
     t = cfg.train
     num_tasks = num_tasks or t.num_eval_tasks
@@ -191,7 +209,7 @@ def pod_evaluate(
     indices = jnp.asarray(
         np.concatenate([np.arange(N), np.zeros(pad, np.int64)]).astype(np.int32)
     )
-    embed_fn = make_sharded_embed_table_fn(model, cfg, mesh, axis)
+    embed_fn = make_sharded_embed_table_fn(model, cfg, mesh, axis, qvars=qvars)
     table = embed_fn(state, store, indices)[:N]
     use_head = (
         cfg.mode == "siamese"
