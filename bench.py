@@ -161,6 +161,17 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
         indices = jnp.arange(batch_size, dtype=jnp.int32)
         enc_cfg = model.cfg
 
+        if int8 != "off" and batch_size < 2:
+            # Calibration + a DISJOINT fidelity batch need ≥2 store rows;
+            # at batch 1 production serves bf16 anyway (INT8_MIN_BATCH).
+            if int8 == "on":
+                raise SystemExit(
+                    "--int8 needs --batch-size >= 2 (calibration rows + "
+                    "disjoint held-out fidelity rows)"
+                )
+            print("# int8 auto: batch 1 cannot hold out disjoint fidelity "
+                  "rows; serving bf16", file=sys.stderr)
+            int8 = "off"
         if int8 != "off":
             from voicemap_tpu.models.quant_infer import (
                 quant_embed, quantize_encoder,

@@ -191,18 +191,26 @@ def main():
 
         from voicemap_tpu.eval import protocol
 
+        if args.k_sweep:
+            raise SystemExit(
+                "--protocol runs the manifest's pinned (n, k) entries; "
+                "--k-sweep is the ad-hoc path — drop one of the two"
+            )
+        # One cache for both passes: corpus decode, device stores, and int8
+        # calibration are shared between the accuracy and EER/AUC entries.
+        store_cache = {}
         results = protocol.run_protocol(
             model, state, args.data_root, cfg,
             allow_corpus_mismatch=args.allow_corpus_mismatch,
             max_store_seconds=args.max_store_seconds, fast=args.fast,
-            int8=args.int8,
+            int8=args.int8, store_cache=store_cache,
         )
         # Protocol v2: the manifest also pins verification (EER/AUC) entries.
         results += protocol.run_verification_protocol(
             model, state, args.data_root, cfg,
             allow_corpus_mismatch=args.allow_corpus_mismatch,
             max_store_seconds=args.max_store_seconds, fast=args.fast,
-            int8=args.int8,
+            int8=args.int8, store_cache=store_cache,
         )
         for r in results:
             print(json.dumps(r))
@@ -245,18 +253,20 @@ def main():
             json.dump(meta, f, indent=1)
         plot_sweep(results, args.sweep_out + ".png", args.subsets)
         print(f"wrote {args.sweep_out}.json and {args.sweep_out}.png")
-        return
-
-    acc = nshot.evaluate(
-        model, state, store, cfg, jax.random.PRNGKey(args.seed),
-        num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way, fast=args.fast,
-        qvars=qvars,
-    )
-    stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / args.num_tasks)
-    print(
-        f"{args.n_shot}-shot {args.k_way}-way accuracy over {args.num_tasks} tasks "
-        f"on {args.subsets}: {acc:.4f} ± {stderr:.4f} (1σ)"
-    )
+    else:
+        acc = nshot.evaluate(
+            model, state, store, cfg, jax.random.PRNGKey(args.seed),
+            num_tasks=args.num_tasks, n=args.n_shot, k=args.k_way,
+            fast=args.fast, qvars=qvars,
+        )
+        stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / args.num_tasks)
+        print(
+            f"{args.n_shot}-shot {args.k_way}-way accuracy over "
+            f"{args.num_tasks} tasks on {args.subsets}: "
+            f"{acc:.4f} ± {stderr:.4f} (1σ)"
+        )
+    # --verification composes with both the single-point and --k-sweep paths
+    # (the sweep reuses the store; EER/AUC embeds its own table).
     if args.verification:
         from voicemap_tpu.eval.verification import evaluate_verification
 

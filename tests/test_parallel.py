@@ -802,3 +802,12 @@ def test_pod_evaluate_int8_matches_single_device(mesh8, dp_store, corpus_root):
                                 num_tasks=160, n=1, k=3, embed_batch=16,
                                 qvars=qvars)
     assert abs(acc_pod - acc_single) < 1e-6, (acc_pod, acc_single)
+
+    # A mismatched artifact fails loudly at build time with the same
+    # kind-vs-mode message as eval/nshot.embed_all — not a conv rank error
+    # inside shard_map.
+    bad = dict(qvars)
+    bad["kind"] = "mel"
+    with pytest.raises(ValueError, match="kind does not match"):
+        pod_evaluate(model, state, store, cfg, mesh8, key,
+                     num_tasks=160, n=1, k=3, qvars=bad)

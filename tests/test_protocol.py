@@ -156,6 +156,32 @@ def test_verification_protocol_runs_and_is_reproducible(proto_corpus):
     json.dumps(v)
 
 
+def test_protocol_store_cache_shared(proto_corpus, monkeypatch):
+    """One store_cache across the accuracy and verification passes ⇒ the
+    corpus is indexed/decoded/shipped once per subset, not once per pass."""
+    import voicemap_tpu.data.dataset as dsmod
+
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    m["entries"] = [dict(m["entries"][0], num_tasks=20)]  # dev-clean
+    m["verification"]["entries"] = [
+        dict(m["verification"]["entries"][0], num_pairs=50)]  # dev-clean
+    calls = []
+    real = dsmod.dataset_from_config
+    monkeypatch.setattr(dsmod, "dataset_from_config",
+                        lambda c: (calls.append(1), real(c))[1])
+    cache = {}
+    kw = dict(manifest=m, allow_corpus_mismatch=True, max_store_seconds=5.0,
+              store_cache=cache)
+    r_acc = protocol.run_protocol(model, state, proto_corpus, cfg, **kw)
+    assert len(calls) == 1
+    r_ver = protocol.run_verification_protocol(
+        model, state, proto_corpus, cfg, **kw)
+    assert len(calls) == 1  # verification reused the cached store
+    assert len(r_acc) == 1 and len(r_ver) == 1
+    assert ("dev-clean",) in cache
+
+
 def test_verification_protocol_v1_manifest_is_noop(proto_corpus):
     model, state, cfg = _model_and_cfg(proto_corpus)
     m = protocol.load_manifest()

@@ -136,3 +136,19 @@ def test_verification_same_label_orientation(corpus_root, siamese_setup):
     assert (labels == 1.0).sum() == 32
     eer, _ = eer_from_scores(scores, labels, same_label=1)
     assert 0.0 <= eer <= 1.0
+
+    # Protocol relabeling (same_label=) changes ONLY the label values — the
+    # head orientation stays the TRAINED convention, so scores are identical
+    # and EER/AUC are invariant (regression: the protocol runner used to
+    # override cfg.siamese.same_label, flipping orientation for heads
+    # trained with same=1).
+    s2, l2 = verification_scores(
+        model, state, store, cfg1, jax.random.PRNGKey(1), num_pairs=64,
+        same_label=0,
+    )
+    np.testing.assert_array_equal(scores, s2)
+    np.testing.assert_array_equal(labels, 1.0 - l2)
+    eer2, _ = eer_from_scores(s2, l2, same_label=0)
+    assert eer2 == eer
+    assert auc_from_scores(s2, l2, same_label=0) == auc_from_scores(
+        scores, labels, same_label=1)

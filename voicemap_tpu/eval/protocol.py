@@ -97,6 +97,73 @@ def check_corpus(
     return problems
 
 
+def _entry_store(
+    cfg_base,
+    data_root: str,
+    subsets,
+    manifest: Dict,
+    allow_corpus_mismatch: bool,
+    max_store_seconds: Optional[float],
+    cache: Optional[Dict] = None,
+):
+    """(cfg, ds, store, problems, fps) for one entry's subsets.
+
+    ``cache`` (keyed by the subsets tuple) lets the accuracy and
+    verification passes of one protocol run share corpus decode +
+    host→device shipping — the fragment settings are manifest-global, so
+    the same subsets always yield the same store within a run.
+    """
+    import dataclasses
+
+    from ..data.dataset import dataset_from_config
+    from ..train import steps as steps_mod
+
+    key = tuple(subsets)
+    if cache is not None and key in cache:
+        return cache[key]
+    frag = manifest["fragment"]
+    data_cfg = dataclasses.replace(
+        cfg_base.data,
+        data_root=data_root,
+        subsets=key,
+        seconds=frag["seconds"],
+        sample_rate=frag["sample_rate"],
+        downsampling=frag["downsampling"],
+        stochastic=frag["stochastic"],
+        pad=frag["pad"],
+        whiten_rms=frag["whiten_rms"],
+    )
+    cfg = cfg_base.replace(data=data_cfg)
+    ds = dataset_from_config(cfg.data)
+    problems: List[str] = []
+    fps: Dict[str, str] = {}
+    for subset in key:
+        problems += check_corpus(ds, subset, manifest, fingerprints=fps)
+    if problems and not allow_corpus_mismatch:
+        raise ValueError(
+            "corpus does not match EVAL_PROTOCOL.json: " + "; ".join(problems)
+        )
+    store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
+    out = (cfg, ds, store, problems, fps)
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def _entry_qvars(state, cfg, store, subsets, cache: Optional[Dict]):
+    """Calibrated int8 qvars for one entry, shared across protocol passes
+    via ``cache`` (keyed ('qvars', *subsets) — disjoint from store keys)."""
+    from ..models.quant_infer import quantize_from_store
+
+    key = ("qvars",) + tuple(subsets)
+    if cache is not None and key in cache:
+        return cache[key]
+    qvars = quantize_from_store(state, cfg, store)
+    if cache is not None:
+        cache[key] = qvars
+    return qvars
+
+
 def run_protocol(
     model,
     state,
@@ -107,6 +174,7 @@ def run_protocol(
     max_store_seconds: Optional[float] = None,
     fast: bool = False,
     int8: bool = False,
+    store_cache: Optional[Dict] = None,
 ) -> List[Dict]:
     """Run every manifest entry; returns one result dict per entry.
 
@@ -119,47 +187,23 @@ def run_protocol(
     ``int8``: embed through the quantized serving path
     (models/quant_infer), calibrated per entry on that entry's store — the
     deployment accuracy-parity run; results carry ``"int8": true``.
-    """
-    import dataclasses
 
+    ``store_cache``: pass the same dict to ``run_verification_protocol``
+    to share per-subset corpus decode + device stores across both passes.
+    """
     import jax
 
-    from ..data.dataset import dataset_from_config
-    from ..train import steps as steps_mod
     from . import nshot
 
     manifest = manifest or load_manifest()
-    frag = manifest["fragment"]
     results = []
     for entry in manifest["entries"]:
-        data_cfg = dataclasses.replace(
-            cfg_base.data,
-            data_root=data_root,
-            subsets=tuple(entry["subsets"]),
-            seconds=frag["seconds"],
-            sample_rate=frag["sample_rate"],
-            downsampling=frag["downsampling"],
-            stochastic=frag["stochastic"],
-            pad=frag["pad"],
-            whiten_rms=frag["whiten_rms"],
+        cfg, ds, store, problems, fps = _entry_store(
+            cfg_base, data_root, entry["subsets"], manifest,
+            allow_corpus_mismatch, max_store_seconds, cache=store_cache,
         )
-        cfg = cfg_base.replace(data=data_cfg)
-        ds = dataset_from_config(cfg.data)
-        problems = []
-        fps: Dict[str, str] = {}
-        for subset in entry["subsets"]:
-            problems += check_corpus(ds, subset, manifest, fingerprints=fps)
-        if problems and not allow_corpus_mismatch:
-            raise ValueError(
-                "corpus does not match EVAL_PROTOCOL.json: "
-                + "; ".join(problems)
-            )
-        store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
-        qvars = None
-        if int8:
-            from ..models.quant_infer import quantize_from_store
-
-            qvars = quantize_from_store(state, cfg, store)
+        qvars = _entry_qvars(state, cfg, store, entry["subsets"],
+                             store_cache) if int8 else None
         acc = nshot.evaluate(
             model, state, store, cfg,
             jax.random.PRNGKey(int(manifest["task_seed"])),
@@ -202,6 +246,7 @@ def run_verification_protocol(
     max_store_seconds: Optional[float] = None,
     fast: bool = False,
     int8: bool = False,
+    store_cache: Optional[Dict] = None,
 ) -> List[Dict]:
     """Run the manifest's pinned verification entries (protocol v2).
 
@@ -211,59 +256,35 @@ def run_verification_protocol(
     reference scoring surface: ``voicemap/train.py`` verification batches).
     Results carry the acceptance-rule standard errors so two runs of this
     function are directly comparable under the manifest's z-test.
-    """
-    import dataclasses
 
+    The manifest's ``same_label`` pins only the PAIR-LABEL convention of
+    the reported counts/metrics; the trained head's sign convention stays
+    the checkpoint's own ``cfg.siamese.same_label`` (verification_scores
+    separates the two — overriding the cfg here would flip score
+    orientation for heads trained with the other convention).
+    """
     import jax
 
-    from ..data.dataset import dataset_from_config
-    from ..train import steps as steps_mod
     from . import verification as V
 
     manifest = manifest or load_manifest()
     ver = manifest.get("verification")
     if ver is None:
         return []  # v1 manifest: nothing pinned
-    frag = manifest["fragment"]
     same_label = int(ver["same_label"])
     results = []
     for entry in ver["entries"]:
-        data_cfg = dataclasses.replace(
-            cfg_base.data,
-            data_root=data_root,
-            subsets=tuple(entry["subsets"]),
-            seconds=frag["seconds"],
-            sample_rate=frag["sample_rate"],
-            downsampling=frag["downsampling"],
-            stochastic=frag["stochastic"],
-            pad=frag["pad"],
-            whiten_rms=frag["whiten_rms"],
+        cfg, ds, store, problems, fps = _entry_store(
+            cfg_base, data_root, entry["subsets"], manifest,
+            allow_corpus_mismatch, max_store_seconds, cache=store_cache,
         )
-        cfg = cfg_base.replace(data=data_cfg)
-        if cfg.mode == "siamese":
-            cfg = cfg.replace(
-                siamese=dataclasses.replace(cfg.siamese, same_label=same_label)
-            )
-        ds = dataset_from_config(cfg.data)
-        problems = []
-        fps: Dict[str, str] = {}
-        for subset in entry["subsets"]:
-            problems += check_corpus(ds, subset, manifest, fingerprints=fps)
-        if problems and not allow_corpus_mismatch:
-            raise ValueError(
-                "corpus does not match EVAL_PROTOCOL.json: "
-                + "; ".join(problems)
-            )
-        store = steps_mod.device_store_for(cfg, ds.to_store(max_store_seconds))
-        qvars = None
-        if int8:
-            from ..models.quant_infer import quantize_from_store
-
-            qvars = quantize_from_store(state, cfg, store)
+        qvars = _entry_qvars(state, cfg, store, entry["subsets"],
+                             store_cache) if int8 else None
         scores, labels = V.verification_scores(
             model, state, store, cfg,
             jax.random.PRNGKey(int(ver["pair_seed"])),
             num_pairs=entry["num_pairs"], fast=fast, qvars=qvars,
+            same_label=same_label,
         )
         n_same = int((labels == same_label).sum())
         n_diff = int(len(labels) - n_same)

@@ -111,20 +111,28 @@ def verification_scores(
     embed_batch: int = 256,
     fast: bool = False,
     qvars=None,
+    same_label: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(scores, labels) for ``num_pairs`` balanced pairs; lower ⇒ same.
 
     Embeds the corpus once (deterministic fragments) and samples pairs on
     device with the training batch sampler, so the pair distribution matches
     the reference's half-alike/half-differing layout.
+
+    ``same_label`` sets only the label VALUE marking same-speaker pairs in
+    the returned ``labels`` (default: ``cfg.siamese.same_label``). The
+    trained head's sign convention is always taken from the cfg — the
+    convention the head was TRAINED with — so relabeling pairs for an
+    external manifest never flips score orientation.
     """
     table = np.asarray(
         nshot.embed_all(model, state, store, cfg, batch_size=embed_batch,
                         fast=fast, qvars=qvars)
     )
-    same_label = cfg.siamese.same_label
+    trained_same = cfg.siamese.same_label
+    out_same = trained_same if same_label is None else int(same_label)
     batch = sampling.sample_verification_batch(
-        key, store.speaker_utts, store.speaker_counts, num_pairs, same_label
+        key, store.speaker_utts, store.speaker_counts, num_pairs, out_same
     )
     q = table[np.asarray(batch.idx_1)]
     s = table[np.asarray(batch.idx_2)]
@@ -147,7 +155,7 @@ def verification_scores(
         # BCE trains sigmoid(logit) toward the label: with same=0 a LOW
         # logit means same (keep); with same=1 a HIGH logit means same
         # (negate so lower ⇒ same everywhere downstream).
-        scores = logits if same_label == 0 else -logits
+        scores = logits if trained_same == 0 else -logits
     else:
         scores = np.sqrt(((q.astype(np.float64) - s) ** 2).sum(-1))
     return scores, labels
