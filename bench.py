@@ -161,17 +161,27 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
         indices = jnp.arange(batch_size, dtype=jnp.int32)
         enc_cfg = model.cfg
 
-        if int8 != "off" and batch_size < 2:
-            # Calibration + a DISJOINT fidelity batch need ≥2 store rows;
-            # at batch 1 production serves bf16 anyway (INT8_MIN_BATCH).
-            if int8 == "on":
-                raise SystemExit(
-                    "--int8 needs --batch-size >= 2 (calibration rows + "
-                    "disjoint held-out fidelity rows)"
+        if int8 == "on" and batch_size < 2:
+            raise SystemExit(
+                "--int8 needs --batch-size >= 2 (calibration rows + "
+                "disjoint held-out fidelity rows)"
+            )
+        if int8 == "auto":
+            # Dtype-by-batch serving policy: below INT8_MIN_BATCH the
+            # requantize round-trips beat the MXU win and int8 measures
+            # SLOWER than bf16 — production would not serve it, so the
+            # auto bench must not either (--int8 still forces it).
+            from voicemap_tpu.models.quant_infer import (
+                INT8_MIN_BATCH, int8_worthwhile,
+            )
+
+            if not int8_worthwhile(batch_size):
+                print(
+                    f"# int8 auto: batch {batch_size} < INT8_MIN_BATCH="
+                    f"{INT8_MIN_BATCH} — dtype-by-batch policy serves bf16",
+                    file=sys.stderr,
                 )
-            print("# int8 auto: batch 1 cannot hold out disjoint fidelity "
-                  "rows; serving bf16", file=sys.stderr)
-            int8 = "off"
+                int8 = "off"
         if int8 != "off":
             from voicemap_tpu.models.quant_infer import (
                 quant_embed, quantize_encoder,
@@ -270,23 +280,16 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
 
         t_out = FRAG // DOWNSAMPLING
         one_idx = jnp.zeros((1,), jnp.int32)
-        batch1_int8 = False
-        if int8_served:
-            from voicemap_tpu.models.quant_infer import (
-                int8_worthwhile, quant_embed,
-            )
-
-            batch1_int8 = int8_worthwhile(1)
-        if batch1_int8:
-            batch1_dtype = "int8"
+        # Batch 1 is always below INT8_MIN_BATCH, so the dtype-by-batch
+        # policy serves bf16 here unconditionally — even when the bulk
+        # path above serves int8 (int8 loses at batch 1: requantize
+        # round-trips dominate; BASELINE.md round 3).
 
         @jax.jit
         def embed_one(store, offsets):
             x = pallas_gather_whiten(
                 store, one_idx, offsets, t_out, block_rows=1
             )[..., None]
-            if batch1_int8:
-                return quant_embed(variables, qvars, model.cfg, x)
             return fast_embed(variables, model.cfg, x)
     else:
 

@@ -137,9 +137,89 @@ def bench_embed():
           flush=True)
 
 
+def bench_stages():
+    """Per-stage share of the FULL int8 serving pipeline at serving batch:
+    gather+whiten → Pallas block0(+s0 requant epilogue) → int8 blocks 1+ →
+    global-max + head. Each stage timed standalone on its real predecessor
+    activation, then compared against the fused end-to-end program — the
+    difference is what XLA fusion across stage boundaries buys/costs."""
+    from voicemap_tpu.models.fast_infer import block0_pallas_eligible
+    from voicemap_tpu.models.quant_infer import _DTYPES
+    from voicemap_tpu.ops.pallas_conv import pallas_conv_block0
+    from voicemap_tpu.ops.pallas_preprocess import (
+        decimate_store, pallas_gather_whiten,
+    )
+
+    cfg = CFG
+    ds = 4
+    store_t = T_IN * ds + 8000  # raw-store rows longer than the fragment
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(
+        rng.integers(-20000, 20000, size=(B, store_t), dtype=np.int16))
+    store = decimate_store(raw, ds)
+    offsets = jnp.asarray(
+        rng.integers(0, (store_t - T_IN * ds) // ds, size=(B,), dtype=np.int32))
+    indices = jnp.arange(B, dtype=jnp.int32)
+
+    model, variables, qvars, _ = _setup()
+    params, stats = variables["params"], variables["batch_stats"]
+    cdt = _DTYPES[cfg.compute_dtype]
+
+    def pre(store, offsets):
+        return pallas_gather_whiten(store, indices, offsets, T_IN)[..., None]
+
+    x = jax.jit(pre)(store, offsets)
+    assert block0_pallas_eligible(cfg, x)
+    blk, bst = params["block_0"], stats["block_0"]["bn"]
+
+    def blk0(x):
+        return pallas_conv_block0(
+            x, blk["conv"]["kernel"], blk["conv"]["bias"],
+            blk["bn"]["scale"], blk["bn"]["bias"], bst["mean"], bst["var"],
+            cfg.bn_epsilon, pool=cfg.pool_sizes[0], gemm_dtype=cdt,
+            requant_scale=qvars["s0"])
+
+    stages = [("gather+whiten", pre, (store, offsets)),
+              ("block0+requant", blk0, (x,))]
+    h_q = jax.jit(blk0)(x)
+    n = len(cfg.filter_multipliers)
+    acts = [h_q]
+    for i in range(1, n):
+        qblk, pool, dil = qvars["blocks"][i - 1], cfg.pool_sizes[i], cfg.dilations[i]
+        last = i == n - 1
+        fn = (lambda a, qblk=qblk, pool=pool, dil=dil, last=last:
+              _quant_block(a, qblk, pool, dil, last=last, out_dtype=cdt))
+        stages.append((f"block{i} int8", fn, (acts[-1],)))
+        acts.append(jax.jit(fn)(acts[-1]))
+
+    emb = params["embed"]
+
+    def head(h):
+        y = jnp.max(h, axis=1)
+        return (y @ emb["kernel"].astype(cdt)
+                + emb["bias"].astype(cdt)).astype(jnp.float32)
+
+    stages.append(("gmax+head", head, (acts[-1],)))
+
+    def end_to_end(store, offsets):
+        return quant_embed(variables, qvars, cfg, pre(store, offsets))
+
+    t_e2e = _sec(end_to_end, store, offsets, iters=20)
+    times = [(name, _sec(fn, *args, iters=20)) for name, fn, args in stages]
+    total = sum(t for _, t in times)
+    for name, t in times:
+        print(f"{name:>16}: {t*1e3:8.3f} ms  {t/total*100:5.1f}% of stage sum",
+              flush=True)
+    print(f"{'stage sum':>16}: {total*1e3:8.3f} ms")
+    print(f"{'end-to-end':>16}: {t_e2e*1e3:8.3f} ms ({B/t_e2e:,.0f} utt/s; "
+          f"fusion across boundaries: {(total-t_e2e)*1e3:+.3f} ms)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "embed"
     if which in ("blocks", "all"):
         bench_blocks()
     if which in ("embed", "all"):
         bench_embed()
+    if which in ("stages", "all"):
+        bench_stages()

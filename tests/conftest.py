@@ -86,6 +86,8 @@ def pytest_collection_modifyitems(config, items):
     suite stays the pre-commit bar. See slow_tests.txt for the criterion."""
     listed = set()
     path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return  # no fast-tier list — every test simply stays unmarked
     with open(path) as f:
         for line in f:
             line = line.strip()

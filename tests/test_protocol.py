@@ -170,16 +170,26 @@ def test_protocol_store_cache_shared(proto_corpus, monkeypatch):
     real = dsmod.dataset_from_config
     monkeypatch.setattr(dsmod, "dataset_from_config",
                         lambda c: (calls.append(1), real(c))[1])
+    import voicemap_tpu.eval.nshot as nshot_mod
+
+    embeds = []
+    real_embed = nshot_mod.embed_all
+    monkeypatch.setattr(
+        nshot_mod, "embed_all",
+        lambda *a, **kw: (embeds.append(1), real_embed(*a, **kw))[1])
     cache = {}
     kw = dict(manifest=m, allow_corpus_mismatch=True, max_store_seconds=5.0,
               store_cache=cache)
     r_acc = protocol.run_protocol(model, state, proto_corpus, cfg, **kw)
     assert len(calls) == 1
+    assert len(embeds) == 1
     r_ver = protocol.run_verification_protocol(
         model, state, proto_corpus, cfg, **kw)
     assert len(calls) == 1  # verification reused the cached store
+    assert len(embeds) == 1  # ... and the cached embedding table
     assert len(r_acc) == 1 and len(r_ver) == 1
     assert ("dev-clean",) in cache
+    assert ("table", False, False, "dev-clean") in cache
 
 
 def test_verification_protocol_v1_manifest_is_noop(proto_corpus):

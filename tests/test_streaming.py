@@ -240,3 +240,50 @@ def test_embed_all_streaming_int8_matches_device(corpus_root, ds):
                                   qvars=q_frag)
     )
     np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)
+
+
+def test_embed_all_streaming_int8_mel(corpus_root, ds):
+    """Streaming + int8 for config #4 (melspec2d): the streaming table
+    matches the device-store int8 table, and a mismatched wave artifact
+    fails with the typed kind-vs-mode error (regression: the streaming
+    path used to hard-reject melspec2d int8 outright)."""
+    from voicemap_tpu.config import MelConfig
+    from voicemap_tpu.eval import nshot
+    from voicemap_tpu.models.quant_infer import (
+        quantize_from_frags, quantize_from_store,
+    )
+    from voicemap_tpu.models.spectrogram import MelSpecClassifier
+    from voicemap_tpu.train import steps as steps_mod
+    from voicemap_tpu.train.loop import init_model_state
+
+    cfg = _cfg(corpus_root, mode="melspec2d")
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, downsampling=1),
+        mel=MelConfig(hop_length=128, win_length=384),
+    )
+    store = steps_mod.device_store_for(cfg, ds.to_store())
+    model = MelSpecClassifier(cfg.encoder, cfg.mel,
+                              num_classes=ds.num_speakers)
+    state = init_model_state(model, cfg)
+
+    q_store = quantize_from_store(state, cfg, store, n_cal=16)
+    assert q_store["kind"] == "mel"
+    t_dev = np.asarray(
+        nshot.embed_all(model, state, store, cfg, batch_size=16,
+                        qvars=q_store)
+    )
+    from voicemap_tpu.data.pipeline import iter_embed_batches
+
+    frags, count = next(iter_embed_batches(ds, cfg, 16))
+    q_frag = quantize_from_frags(state, cfg, frags[:count])
+    t_str = np.asarray(
+        nshot.embed_all_streaming(model, state, cfg, ds, batch_size=16,
+                                  qvars=q_frag)
+    )
+    assert t_str.shape == t_dev.shape
+    np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="artifact kind"):
+        nshot.embed_all_streaming(model, state, cfg, ds,
+                                  qvars={"kind": "wave"})

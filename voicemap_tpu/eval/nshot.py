@@ -102,13 +102,9 @@ def embed_all(
     blocks for melspec2d).
     """
     if qvars is not None:
-        if cfg.mode not in ("classifier", "siamese", "melspec2d"):
-            raise ValueError(f"int8 path does not support mode {cfg.mode!r}")
-        if (cfg.mode == "melspec2d") != (qvars.get("kind") == "mel"):
-            raise ValueError(
-                "qvars artifact kind does not match cfg.mode (mel artifacts "
-                "serve melspec2d; wave artifacts serve classifier/siamese)"
-            )
+        from ..models.quant_infer import check_qvars_mode
+
+        check_qvars_mode(cfg, qvars)
         embed_chunk = _quant_embed_chunk_fn(cfg, qvars)
     else:
         embed_chunk = _embed_chunk_fn(model, cfg, fast)
@@ -177,8 +173,10 @@ def embed_all_streaming(
     threaded FLAC decode overlaps device compute, rows align with the
     device-store table (both embed deterministic offset-0 fragments).
     """
-    if qvars is not None and cfg.mode not in ("classifier", "siamese"):
-        raise ValueError("int8 path supports raw-waveform encoders only")
+    if qvars is not None:
+        from ..models.quant_infer import check_qvars_mode
+
+        check_qvars_mode(cfg, qvars)  # _embed_frags_fn serves all 3 modes
     from ..data.pipeline import iter_embed_batches
 
     embed_chunk = _embed_frags_fn(model, cfg, fast, qvars)
@@ -268,11 +266,16 @@ def evaluate(
     embed_batch: int = 256,
     fast: bool = False,
     qvars=None,
+    table: Optional[jnp.ndarray] = None,
 ) -> float:
     """Full n-shot evaluation: embed table once, score all tasks at once.
 
     ``qvars`` (models/quant_infer) embeds through the int8 serving path —
     the accuracy-parity check for quantized deployment.
+
+    ``table``: a precomputed ``embed_all`` table for this exact
+    (store, cfg, fast, qvars) — skips the embedding pass (the protocol
+    runner shares one table between its accuracy and EER/AUC passes).
     """
     t = cfg.train
     num_tasks = num_tasks or t.num_eval_tasks
@@ -288,8 +291,9 @@ def evaluate(
             f"n_shot={n} needs ≥{n + 1} utterances per speaker; "
             f"minimum in the eval store is {int(counts.min())}"
         )
-    table = embed_all(model, state, store, cfg, batch_size=embed_batch,
-                      fast=fast, qvars=qvars)
+    if table is None:
+        table = embed_all(model, state, store, cfg, batch_size=embed_batch,
+                          fast=fast, qvars=qvars)
     return score_table(table, state, store, cfg, key, num_tasks, n, k)
 
 

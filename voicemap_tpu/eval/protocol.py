@@ -164,6 +164,27 @@ def _entry_qvars(state, cfg, store, subsets, cache: Optional[Dict]):
     return qvars
 
 
+def _entry_table(model, state, cfg, store, subsets, fast, qvars,
+                 cache: Optional[Dict]):
+    """Embedding table for one entry's store, shared across protocol passes.
+
+    Fragments are deterministic (stochastic=False) and (cfg, fast, qvars)
+    are constant within one protocol run, so the table the accuracy pass
+    builds is bit-identical to what the verification pass would recompute —
+    the full-corpus encoder forward is the dominant device cost per entry.
+    Keyed ('table', int8?, fast?, *subsets); disjoint from store/qvars keys.
+    """
+    from . import nshot
+
+    key = ("table", qvars is not None, bool(fast)) + tuple(subsets)
+    if cache is not None and key in cache:
+        return cache[key]
+    table = nshot.embed_all(model, state, store, cfg, fast=fast, qvars=qvars)
+    if cache is not None:
+        cache[key] = table
+    return table
+
+
 def run_protocol(
     model,
     state,
@@ -189,7 +210,8 @@ def run_protocol(
     deployment accuracy-parity run; results carry ``"int8": true``.
 
     ``store_cache``: pass the same dict to ``run_verification_protocol``
-    to share per-subset corpus decode + device stores across both passes.
+    to share per-subset corpus decode, device stores, int8 calibration,
+    and embedding tables across both passes.
     """
     import jax
 
@@ -204,11 +226,13 @@ def run_protocol(
         )
         qvars = _entry_qvars(state, cfg, store, entry["subsets"],
                              store_cache) if int8 else None
+        table = _entry_table(model, state, cfg, store, entry["subsets"],
+                             fast, qvars, store_cache)
         acc = nshot.evaluate(
             model, state, store, cfg,
             jax.random.PRNGKey(int(manifest["task_seed"])),
             num_tasks=entry["num_tasks"], n=entry["n_shot"],
-            k=entry["k_way"], fast=fast, qvars=qvars,
+            k=entry["k_way"], fast=fast, qvars=qvars, table=table,
         )
         stderr = math.sqrt(max(acc * (1 - acc), 1e-12) / entry["num_tasks"])
         z = float(manifest["acceptance"]["z"])
@@ -280,11 +304,13 @@ def run_verification_protocol(
         )
         qvars = _entry_qvars(state, cfg, store, entry["subsets"],
                              store_cache) if int8 else None
+        table = _entry_table(model, state, cfg, store, entry["subsets"],
+                             fast, qvars, store_cache)
         scores, labels = V.verification_scores(
             model, state, store, cfg,
             jax.random.PRNGKey(int(ver["pair_seed"])),
             num_pairs=entry["num_pairs"], fast=fast, qvars=qvars,
-            same_label=same_label,
+            same_label=same_label, table=table,
         )
         n_same = int((labels == same_label).sum())
         n_diff = int(len(labels) - n_same)

@@ -112,12 +112,15 @@ def verification_scores(
     fast: bool = False,
     qvars=None,
     same_label: Optional[int] = None,
+    table=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(scores, labels) for ``num_pairs`` balanced pairs; lower ⇒ same.
 
     Embeds the corpus once (deterministic fragments) and samples pairs on
     device with the training batch sampler, so the pair distribution matches
-    the reference's half-alike/half-differing layout.
+    the reference's half-alike/half-differing layout. ``table``: a
+    precomputed ``nshot.embed_all`` table for this exact
+    (store, cfg, fast, qvars) — skips the embedding pass.
 
     ``same_label`` sets only the label VALUE marking same-speaker pairs in
     the returned ``labels`` (default: ``cfg.siamese.same_label``). The
@@ -125,10 +128,10 @@ def verification_scores(
     convention the head was TRAINED with — so relabeling pairs for an
     external manifest never flips score orientation.
     """
-    table = np.asarray(
-        nshot.embed_all(model, state, store, cfg, batch_size=embed_batch,
-                        fast=fast, qvars=qvars)
-    )
+    if table is None:
+        table = nshot.embed_all(model, state, store, cfg,
+                                batch_size=embed_batch, fast=fast, qvars=qvars)
+    table = np.asarray(table)
     trained_same = cfg.siamese.same_label
     out_same = trained_same if same_label is None else int(same_label)
     batch = sampling.sample_verification_batch(

@@ -67,6 +67,23 @@ def int8_worthwhile(batch_size: int) -> bool:
     return batch_size >= INT8_MIN_BATCH
 
 
+def check_qvars_mode(cfg, qvars) -> None:
+    """Validate a qvars artifact against the model mode, loudly.
+
+    One shared check for every int8 entry point (eval/nshot device-store +
+    streaming, parallel/pod_eval): a mismatched artifact otherwise dies in
+    a conv rank error deep inside the embed program (or silently runs the
+    wrong quant program). ``kind='mel'`` artifacts serve melspec2d; 'wave'
+    artifacts serve the raw-waveform encoders (classifier/siamese)."""
+    if cfg.mode not in ("classifier", "siamese", "melspec2d"):
+        raise ValueError(f"int8 path does not support mode {cfg.mode!r}")
+    if (cfg.mode == "melspec2d") != (qvars.get("kind") == "mel"):
+        raise ValueError(
+            "qvars artifact kind does not match cfg.mode (mel artifacts "
+            "serve melspec2d; wave artifacts serve classifier/siamese)"
+        )
+
+
 def _bn_affine(blk: Dict, bst: Dict, eps: float):
     """Inference BatchNorm as per-channel affine: z = y*g + h (f32)."""
     inv = jax.lax.rsqrt(bst["var"].astype(jnp.float32) + eps)

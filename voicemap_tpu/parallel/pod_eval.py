@@ -44,16 +44,9 @@ def make_sharded_embed_table_fn(model, cfg: ExperimentConfig, mesh: Mesh,
     weights close over the program and replicate like the model params.
     """
     if qvars is not None:
-        # Same artifact-vs-mode validation as eval/nshot.embed_all — a
-        # mismatched .npz otherwise dies in a conv rank error inside
-        # shard_map (or silently runs the wrong quant program).
-        if cfg.mode not in ("classifier", "siamese", "melspec2d"):
-            raise ValueError(f"int8 path does not support mode {cfg.mode!r}")
-        if (cfg.mode == "melspec2d") != (qvars.get("kind") == "mel"):
-            raise ValueError(
-                "qvars artifact kind does not match cfg.mode (mel artifacts "
-                "serve melspec2d; wave artifacts serve classifier/siamese)"
-            )
+        from ..models.quant_infer import check_qvars_mode
+
+        check_qvars_mode(cfg, qvars)
 
     def device_embed(state: TrainState, store: DeviceStore, indices):
         x = fetch_batch(store, indices, jax.random.PRNGKey(0), cfg,
