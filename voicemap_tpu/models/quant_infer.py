@@ -238,7 +238,18 @@ def load_qvars(path: str) -> Dict:
         return out
 
 
-def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype):
+def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype,
+                 zero_tail_from=None):
+    """One int8 mid-network block on the XLA conv emitter.
+
+    ``zero_tail_from`` (a valid-length t): the input follows the padded-
+    activation contract (rows ≥ t are exact zeros — see
+    ops/pallas_quant_block), and the output's pooled rows ≥ t//pool are
+    re-zeroed so the contract holds downstream. The conv itself is
+    already correct on the padded array (SAME needs x[t] == 0, which the
+    contract guarantees); only the epilogue's relu(β)·α+γ ≠ 0 on zero
+    rows needs masking — a select fused into the epilogue, not a pass.
+    """
     acc = jax.lax.conv_general_dilated(
         x_q, qblk["w_q"], (1,), "SAME", rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -254,20 +265,62 @@ def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype):
         B, T, C = y.shape
         t_full = (T // pool) * pool  # nn.max_pool VALID: drop the remainder
         y = y[:, :t_full].reshape(B, T // pool, pool, C).max(axis=2)
+    if zero_tail_from is not None:
+        t_v = zero_tail_from // max(pool, 1)
+        idx = jnp.arange(y.shape[1], dtype=jnp.int32)
+        y = jnp.where((idx < t_v)[None, :, None], y, jnp.zeros_like(y))
     return y
 
 
+# Auto-routing policy for the fused int8 mid-block kernel
+# (ops/pallas_quant_block): XLA's int8 conv emitter runs Cin=128 blocks at
+# ~37% of the s8 MXU peak while Cin≥256 blocks reach ~74% (BASELINE.md
+# round-4 per-stage table) — the Pallas kernel is adopted per block only
+# where it measured faster on-chip.
+PALLAS_QBLOCK_MAX_CIN = 128
+
+
+def _pallas_qblock_ok(cfg, i: int, t_pad: int, t_valid: int) -> bool:
+    """Shape eligibility of mid block ``i`` for the fused Pallas kernel."""
+    return (
+        cfg.kernel_sizes[i] == 3
+        and cfg.pool_sizes[i] == 2
+        and cfg.dilations[i] == 1
+        and t_pad % 2 == 0
+        and t_valid % 2 == 0
+    )
+
+
 def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
-                x: jnp.ndarray) -> jnp.ndarray:
+                x: jnp.ndarray, *, routing: str = "auto",
+                interpret: bool = False) -> jnp.ndarray:
     """(B, T, 1) float32 → (B, embedding_dim) float32, int8 blocks 1+.
 
     Mirrors ``fast_infer.fast_embed``: block 0 runs the fused Pallas kernel
-    (bf16) when eligible, else the XLA block; blocks 1+ run s8×s8→s32 convs
-    with fused requantizing epilogues.
+    (bf16 GEMM, int8 requantizing epilogue) when eligible, else the XLA
+    block; blocks 1+ run s8×s8→s32 convs with fused requantizing epilogues.
+
+    ``routing``: mid-block backend policy — ``'auto'`` (fused Pallas kernel
+    where it measured faster: Cin ≤ PALLAS_QBLOCK_MAX_CIN; XLA elsewhere),
+    ``'xla'`` (the legacy all-XLA path), ``'pallas'`` (force the kernel on
+    every shape-eligible block). When block 0 runs the Pallas kernel, the
+    whole chain uses the padded-activation contract (zero tails, no
+    inter-block slices); outputs are bit-identical across routings
+    (tests/test_pallas_quant_block.py).
+
+    ``interpret``: run the Pallas kernels in interpret mode (CPU tests).
     """
+    if routing not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown routing {routing!r}")
     params, stats = variables["params"], variables["batch_stats"]
     cdt = _DTYPES[cfg.compute_dtype]
-    if block0_pallas_eligible(cfg, x):
+    n = len(cfg.filter_multipliers)
+    blk0_pallas = block0_pallas_eligible(cfg, x) or (
+        interpret and cfg.dilations[0] == 1 and x.shape[-1] == 1
+        and x.shape[1] % cfg.pool_sizes[0] == 0
+    )
+    chain = blk0_pallas and routing != "xla"
+    if blk0_pallas:
         from ..ops.pallas_conv import pallas_conv_block0
 
         # s0 requantize fused into the kernel epilogue: block 0 is
@@ -279,7 +332,7 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
             x, blk["conv"]["kernel"], blk["conv"]["bias"],
             blk["bn"]["scale"], blk["bn"]["bias"], bst["mean"], bst["var"],
             cfg.bn_epsilon, pool=cfg.pool_sizes[0], gemm_dtype=cdt,
-            requant_scale=qvars["s0"],
+            requant_scale=qvars["s0"], keep_pad=chain, interpret=interpret,
         )
     else:
         h = _xla_block(x, params["block_0"], stats["block_0"]["bn"],
@@ -287,11 +340,38 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
                        cdt)
         h_q = jnp.clip(jnp.round(h.astype(jnp.float32) / qvars["s0"]),
                        -127, 127).astype(jnp.int8)
-    n = len(cfg.filter_multipliers)
+    t_valid = x.shape[1] // cfg.pool_sizes[0]
     for i in range(1, n):
-        h_q = _quant_block(h_q, qvars["blocks"][i - 1], cfg.pool_sizes[i],
-                           cfg.dilations[i], last=(i == n - 1),
-                           out_dtype=cdt)
+        qblk = qvars["blocks"][i - 1]
+        pool = cfg.pool_sizes[i]
+        last = i == n - 1
+        use_pallas = (
+            chain
+            and routing in ("auto", "pallas")
+            and _pallas_qblock_ok(cfg, i, h_q.shape[1], t_valid)
+            and (routing == "pallas"
+                 or h_q.shape[-1] <= PALLAS_QBLOCK_MAX_CIN)
+        )
+        if use_pallas:
+            from ..ops.pallas_quant_block import (
+                cat_weights, pallas_quant_block,
+            )
+
+            h_q = pallas_quant_block(
+                h_q, cat_weights(qblk["w_q"]), qblk["alpha"], qblk["beta"],
+                qblk["gamma"], t_valid=t_valid, last=last,
+                out_dtype=cdt if last else jnp.int8, interpret=interpret,
+            )
+        else:
+            h_q = _quant_block(h_q, qblk, pool, cfg.dilations[i], last=last,
+                               out_dtype=cdt,
+                               zero_tail_from=t_valid if chain else None)
+        t_valid = t_valid // pool if pool > 1 else t_valid
+    if chain:
+        # The padded chain carries zero tails; the global max must only
+        # see the valid rows (all-negative channels would otherwise clamp
+        # at the pad's zeros).
+        h_q = h_q[:, :t_valid]
     h = jnp.max(h_q, axis=1)
     emb = params["embed"]
     out = h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)

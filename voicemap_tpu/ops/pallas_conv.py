@@ -96,6 +96,8 @@ def _kernel(
     c: int,
     gemm_dtype,
     requant: bool = False,
+    contract: str = "vpu_t",
+    zero_pad_tail_from: int | None = None,  # t_out: zero rows ≥ t_out
 ):
     n_q = win // pool + (1 if win % pool else 0)
     # Zero Fᵀ once: rows ≥ win are never written and would otherwise hold
@@ -123,13 +125,23 @@ def _kernel(
                 fst_ref[pl.ds(pool * q, pool), :] = rolled[q][
                     row * pool : (row + 1) * pool, base : base + t_ch
                 ].astype(gemm_dtype)
-            f = fst_ref[:].T  # (t_ch, rows_pad) — in-VMEM transpose
             # bf16 operands (production): one MXU pass instead of the 3+
             # passes an f32 matmul costs on v5e; accumulation stays f32.
-            y = jnp.dot(
-                f, w4_ref[:].astype(gemm_dtype),
-                preferred_element_type=jnp.float32,
-            )  # (t_ch, pool*C)
+            if contract == "dotg":
+                # Contract Fᵀ's sublane dim directly — Mosaic's matmul can
+                # stream a dim-0-contracting lhs without the explicit
+                # VPU transpose the "vpu_t" path pays.
+                y = jax.lax.dot_general(
+                    fst_ref[:], w4_ref[:].astype(gemm_dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (t_ch, pool*C)
+            else:
+                f = fst_ref[:].T  # (t_ch, rows_pad) — in-VMEM transpose
+                y = jnp.dot(
+                    f, w4_ref[:].astype(gemm_dtype),
+                    preferred_element_type=jnp.float32,
+                )  # (t_ch, pool*C)
             y = jax.nn.relu(y + bias[None, :]) * mul[None, :] + add[None, :]
             out = y[:, :c]
             for j in range(1, pool):
@@ -141,13 +153,21 @@ def _kernel(
                 # int8 instead of bf16 halves its output traffic AND
                 # deletes quant_embed's separate full-rate requant pass.
                 out = jnp.clip(jnp.round(out * aff_ref[3:4, :c]), -127, 127)
+            if (zero_pad_tail_from is not None
+                    and base + t_ch > zero_pad_tail_from):
+                # Padded-activation contract (ops/pallas_quant_block): rows
+                # ≥ t_out are exact zeros so the downstream fused int8
+                # chain can run SAME convs on the padded array unsliced.
+                idx = jax.lax.broadcasted_iota(jnp.int32, (t_ch, c), 0)
+                out = jnp.where(idx < (zero_pad_tail_from - base), out,
+                                jnp.zeros_like(out))
             o_ref[row, base : base + t_ch, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("pool", "block_rows", "t_chunk", "interpret", "out_dtype",
-                     "gemm_dtype"),
+                     "gemm_dtype", "contract", "keep_pad"),
 )
 def pallas_conv_block0(
     x: jnp.ndarray,  # (B, T, 1) or (B, T) float32 waveform (post-preprocess)
@@ -165,6 +185,8 @@ def pallas_conv_block0(
     out_dtype=jnp.bfloat16,
     gemm_dtype=jnp.bfloat16,
     requant_scale: jnp.ndarray | None = None,  # (C,) f32 → int8 output
+    contract: str = "vpu_t",  # "vpu_t" | "dotg" — see _kernel
+    keep_pad: bool = False,  # return (B, t_out_pad, C) with ZERO pad rows
 ) -> jnp.ndarray:
     """Fused conv(SAME)+relu+BN(inference)+maxpool → (B, T//pool, C).
 
@@ -173,6 +195,11 @@ def pallas_conv_block0(
     ``clip(round(h / s0), ±127)`` as int8 — requantizing from the f32
     pooled value in VMEM instead of a separate full-rate XLA pass over a
     bf16 intermediate, and ``out_dtype`` is forced to int8.
+
+    ``keep_pad`` returns the full chunk-padded (B, t_out_pad, C) array
+    with rows ≥ T//pool zeroed in-kernel — the activation contract of the
+    fused int8 chain (ops/pallas_quant_block), avoiding any XLA slice
+    between blocks.
     """
     if x.ndim == 3:
         x = x[..., 0]
@@ -212,6 +239,8 @@ def pallas_conv_block0(
         c=c,
         gemm_dtype=gemm_dtype,
         requant=requant,
+        contract=contract,
+        zero_pad_tail_from=(t_out if keep_pad else None),
     )
     out = pl.pallas_call(
         kernel,
@@ -230,7 +259,7 @@ def pallas_conv_block0(
         scratch_shapes=[pltpu.VMEM((rows_pad, t_chunk), gemm_dtype)],
         interpret=interpret,
     )(x4t, w4, aff)
-    return out[:, :t_out, :]
+    return out if keep_pad else out[:, :t_out, :]
 
 
 # ---------------------------------------------------------------------------
