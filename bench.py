@@ -197,6 +197,14 @@ def bench_device(batch_size: int = 2048, iters: int = 20, warmup: int = 5,
             # full-batch eager forwards on top of the bench buffers exhaust
             # HBM at B=2048.
             n_cal = max(1, min(256, batch_size // 2))
+            if n_cal < 32:
+                print(
+                    f"# int8 calibration on only {n_cal} store row(s) "
+                    f"(forced small batch): activation ranges may be "
+                    f"under-covered — fidelity/headline numbers are not "
+                    f"representative of production calibration (256 rows)",
+                    file=sys.stderr,
+                )
             max_off = (STORE_T - FRAG) // DOWNSAMPLING
             cal_idx = jnp.arange(n_cal, dtype=jnp.int32)
             x_cal = pallas_gather_whiten(
@@ -374,6 +382,10 @@ def main():
                         % INT8_FIDELITY_GATE)
     p.add_argument("--bf16", action="store_true",
                    help="force bf16 serving (skip int8 calibration + gate)")
+    p.add_argument("--update-headline-record", action="store_true",
+                   help="accept this run's value into benchmarks/"
+                        "headline_record.json even if it is a regression "
+                        "(for intentional, documented slowdowns)")
     args = p.parse_args()
     if args.int8 and args.bf16:
         raise SystemExit("--int8 and --bf16 are mutually exclusive")
@@ -406,6 +418,38 @@ def main():
         out["fidelity_gate"] = r["fidelity_gate"]
         out["int8_min_cosine_vs_bf16"] = round(
             r["int8_min_cosine_vs_bf16"], 6)
+    # Throughput-regression gate (round-4 verdict item 2): compare the
+    # default-config headline against benchmarks/headline_record.json. Only
+    # the comparable run gates — TPU backend, Pallas pipeline, auto dtype
+    # policy, default batch. Forced --int8/--bf16/--batch-size runs measure
+    # experiments, not the production default.
+    if (r["backend"] == "tpu" and not args.no_pallas and int8_mode == "auto"
+            and (args.batch_size or 2048) == 2048):
+        from benchmarks.check_regression import TOLERANCE, check_headline
+
+        chk = check_headline(
+            r["utt_per_sec"], fingerprint=_config_fingerprint(),
+            batch=r["batch"], int8=r["int8"],
+            update=args.update_headline_record,
+        )
+        if chk["status"] == "regression":
+            out["regression"] = True
+            out["headline_record"] = chk["record"]
+            print(
+                f"# THROUGHPUT REGRESSION: {r['utt_per_sec']:.0f} utt/s is "
+                f"{chk['ratio']:.2f}× the recorded headline "
+                f"{chk['record']:.0f} (gate: < {TOLERANCE:.2f}×). A "
+                f"production-path change made serving slower — find it "
+                f"before shipping (round-4 postmortem: BASELINE.md qblock "
+                f"row). Accept intentionally with --update-headline-record.",
+                file=sys.stderr,
+            )
+        elif chk["status"] == "improved":
+            print(
+                f"# headline record improved: {chk['record']:.0f} → "
+                f"{r['utt_per_sec']:.0f} utt/s (record refreshed)",
+                file=sys.stderr,
+            )
     print(json.dumps(out))
     print(
         f"# batch-1 embed ({r['batch1_dtype']}, dtype-by-batch policy): "

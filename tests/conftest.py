@@ -93,6 +93,29 @@ def pytest_collection_modifyitems(config, items):
             line = line.strip()
             if line and not line.startswith("#"):
                 listed.add(line)
+    matched = set()
     for item in items:
-        if item.nodeid.replace(os.sep, "/") in listed:
+        nid = item.nodeid.replace(os.sep, "/")
+        if nid in listed:
             item.add_marker(pytest.mark.slow)
+            matched.add(nid)
+    # Stale-entry guard (r4 advice): a renamed/re-parametrized slow test
+    # silently falls back into the fast tier unless someone notices. Only
+    # meaningful on full collection — a path/keyword-restricted run
+    # legitimately collects a subset.
+    stale = listed - matched
+    if stale:
+        collected = {i.nodeid.replace(os.sep, "/") for i in items}
+        # Heuristic for "full collection": the majority of listed files are
+        # present among collected files.
+        listed_files = {e.split("::")[0] for e in listed}
+        collected_files = {n.split("::")[0] for n in collected}
+        if len(listed_files & collected_files) >= max(1, len(listed_files) // 2):
+            import warnings
+
+            warnings.warn(
+                "tests/slow_tests.txt entries matched no collected test "
+                "(renamed or re-parametrized? they now run in the fast "
+                f"tier): {sorted(stale)}",
+                stacklevel=1,
+            )

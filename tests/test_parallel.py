@@ -743,12 +743,13 @@ def test_gpipe_real_encoder_matches_sequential():
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
 
 
-def test_gpipe_real_grads_match_sequential():
+def test_gpipe_real_grads_match_sequential_train_mode():
     """Backward through the real-encoder pipeline (transposed ppermute ring)
-    == sequential autodiff, compared in the packed per-stage flat space
-    (pack() is a fixed linear reindexing, so packing the sequential grad
-    tree is exact)."""
-    from voicemap_tpu.models.fast_infer import fast_embed
+    == sequential autodiff of the flax TRAIN-MODE forward applied per
+    microbatch (per-microbatch batch-stat BN — the production training
+    semantics, round-4 verdict item 7), compared in the packed per-stage
+    flat space (pack() is a fixed linear reindexing, so packing the
+    sequential grad tree is exact)."""
     from voicemap_tpu.parallel.pipeline_parallel import (
         make_gpipe_real_train_step,
     )
@@ -766,20 +767,63 @@ def test_gpipe_real_grads_match_sequential():
     def loss_fn(out, tgt):
         return jnp.mean((out - tgt) ** 2)
 
-    step, pack = make_gpipe_real_train_step(
+    step, pack, _ = make_gpipe_real_train_step(
         ENC, mesh, variables, mb, T, n_micro, loss_fn
     )
-    loss, grads = step(pack(variables), x, y)
+    loss, grads, _ = step(pack(variables), x, y)
 
     def seq_loss(v):
-        out = fast_embed(v, ENC, x.reshape(n_micro * mb, T, 1))
-        return loss_fn(out.reshape(n_micro, mb, -1), y)
+        outs = [
+            model.apply(v, x[t], train=True, mutable=["batch_stats"])[0]
+            for t in range(n_micro)
+        ]
+        return loss_fn(jnp.stack(outs), y)
 
     expect_loss, g_seq = jax.value_and_grad(seq_loss)(variables)
     np.testing.assert_allclose(float(loss), float(expect_loss), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(grads), np.asarray(pack(g_seq)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_gpipe_real_bn_stats_match_sequential_flax_chain():
+    """apply_stats(variables, pipeline stats) == chaining flax
+    ``apply(train=True, mutable=['batch_stats'])`` microbatch by microbatch
+    — the running-stat EMA the production train loop performs."""
+    from voicemap_tpu.parallel.pipeline_parallel import (
+        make_gpipe_real_encoder_fn,
+    )
+
+    mesh = mesh_mod.make_mesh({"pp": 2})
+    model = ConvEncoder(ENC)
+    T, mb, n_micro = 256, 2, 3
+    r = np.random.default_rng(5)
+    x = jnp.asarray(r.standard_normal((n_micro, mb, T, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x[0], train=False)
+
+    fn, pack, apply_stats = make_gpipe_real_encoder_fn(
+        ENC, mesh, variables, mb, T, n_micro, train=True
+    )
+    out, stats = fn(pack(variables), x)
+    new_bst = apply_stats(variables, stats)
+
+    # Sequential flax reference: thread the mutated batch_stats through.
+    v = variables
+    outs = []
+    for t in range(n_micro):
+        o, mut = model.apply(v, x[t], train=True, mutable=["batch_stats"])
+        outs.append(o)
+        v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.stack(outs)), rtol=1e-4, atol=1e-4
+    )
+    for k in v["batch_stats"]:
+        for leaf in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(new_bst[k]["bn"][leaf]),
+                np.asarray(v["batch_stats"][k]["bn"][leaf]),
+                rtol=1e-5, atol=1e-6, err_msg=f"{k}/{leaf}",
+            )
 
 
 def test_pod_evaluate_int8_matches_single_device(mesh8, dp_store, corpus_root):

@@ -155,7 +155,7 @@ def _entry_qvars(state, cfg, store, subsets, cache: Optional[Dict]):
     via ``cache`` (keyed ('qvars', *subsets) — disjoint from store keys)."""
     from ..models.quant_infer import quantize_from_store
 
-    key = ("qvars",) + tuple(subsets)
+    key = ("qvars", id(state)) + tuple(subsets)
     if cache is not None and key in cache:
         return cache[key]
     qvars = quantize_from_store(state, cfg, store)
@@ -176,7 +176,7 @@ def _entry_table(model, state, cfg, store, subsets, fast, qvars,
     """
     from . import nshot
 
-    key = ("table", qvars is not None, bool(fast)) + tuple(subsets)
+    key = ("table", id(state), qvars is not None, bool(fast)) + tuple(subsets)
     if cache is not None and key in cache:
         return cache[key]
     table = nshot.embed_all(model, state, store, cfg, fast=fast, qvars=qvars)
@@ -211,7 +211,11 @@ def run_protocol(
 
     ``store_cache``: pass the same dict to ``run_verification_protocol``
     to share per-subset corpus decode, device stores, int8 calibration,
-    and embedding tables across both passes.
+    and embedding tables across both passes. Lifetime: one (cfg_base,
+    corpus) pair — stores are keyed by subsets only, so reusing a cache
+    across different configs/corpora returns stale stores. Model-dependent
+    entries (qvars, tables) additionally fold ``id(state)`` into their
+    keys, so sweeping checkpoints over one cache is safe (r4 advice).
     """
     import jax
 

@@ -273,22 +273,62 @@ def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype,
 
 
 # Auto-routing policy for the fused int8 mid-block kernel
-# (ops/pallas_quant_block): XLA's int8 conv emitter runs Cin=128 blocks at
-# ~37% of the s8 MXU peak while Cin≥256 blocks reach ~74% (BASELINE.md
-# round-4 per-stage table) — the Pallas kernel is adopted per block only
-# where it measured faster on-chip.
-PALLAS_QBLOCK_MAX_CIN = 128
+# (ops/pallas_quant_block): the kernel measured SLOWER than XLA's int8 conv
+# emitter end-to-end on-chip — 27.1 ms vs 8.7 ms on block 1 at the serving
+# shape (benchmarks/bench_qblock_attrib.py; BASELINE.md round-5 qblock row) —
+# and its round-4 auto-adoption regressed the headline 67.9k → 37.5k utt/s.
+# 0 means routing="auto" never picks it; it stays available via
+# routing="pallas" for benchmarking. Raise this ONLY with a fresh end-to-end
+# on-chip win recorded in BASELINE.md.
+PALLAS_QBLOCK_MAX_CIN = 0
+
+
+# pallas_quant_block holds whole (b_blk, T_pad, Cin) input and
+# (b_blk, T_pad/2, Cout) output rows in VMEM; leave headroom under the
+# ~16 MB Mosaic scoped-VMEM limit so oversized fragment lengths fall back
+# to the XLA mid-block path instead of failing to compile (r4 advice).
+_QBLOCK_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _pallas_qblock_ok(cfg, i: int, t_pad: int, t_valid: int) -> bool:
-    """Shape eligibility of mid block ``i`` for the fused Pallas kernel."""
+    """Shape + VMEM-footprint eligibility of mid block ``i`` for the
+    fused Pallas kernel (ops/pallas_quant_block)."""
+    c_in = cfg.filters * cfg.filter_multipliers[i - 1]
+    c_out = cfg.filters * cfg.filter_multipliers[i]
+    out_bytes = 2 if i == len(cfg.filter_multipliers) - 1 else 1
+    # b_blk=4 (the kernel default; it only shrinks when B % 4 != 0), whole
+    # rows for input and output, plus the lane-concatenated weights.
+    vmem = 4 * t_pad * c_in + 4 * (t_pad // 2) * c_out * out_bytes \
+        + 3 * c_in * c_out
     return (
         cfg.kernel_sizes[i] == 3
         and cfg.pool_sizes[i] == 2
         and cfg.dilations[i] == 1
         and t_pad % 2 == 0
         and t_valid % 2 == 0
+        and vmem <= _QBLOCK_VMEM_BUDGET
     )
+
+
+def _any_mid_pallas(cfg, T: int, routing: str) -> bool:
+    """Would any mid block run the fused Pallas kernel under ``routing``?
+
+    Simulates the padded-chain shapes (block 0 keep_pad rounds T//pool0 up
+    to the 1024-row chunk) through blocks 1+ — used to decide whether the
+    padded-activation contract is worth engaging at all."""
+    if routing == "xla":
+        return False
+    t_valid = T // cfg.pool_sizes[0]
+    t_pad = -(-t_valid // 1024) * 1024  # pallas_conv_block0 t_chunk default
+    for i in range(1, len(cfg.filter_multipliers)):
+        c_in = cfg.filters * cfg.filter_multipliers[i - 1]
+        if _pallas_qblock_ok(cfg, i, t_pad, t_valid) and (
+                routing == "pallas" or c_in <= PALLAS_QBLOCK_MAX_CIN):
+            return True
+        pool = cfg.pool_sizes[i]
+        if pool > 1:
+            t_pad, t_valid = t_pad // pool, t_valid // pool
+    return False
 
 
 def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
@@ -301,12 +341,16 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
     block; blocks 1+ run s8×s8→s32 convs with fused requantizing epilogues.
 
     ``routing``: mid-block backend policy — ``'auto'`` (fused Pallas kernel
-    where it measured faster: Cin ≤ PALLAS_QBLOCK_MAX_CIN; XLA elsewhere),
-    ``'xla'`` (the legacy all-XLA path), ``'pallas'`` (force the kernel on
-    every shape-eligible block). When block 0 runs the Pallas kernel, the
-    whole chain uses the padded-activation contract (zero tails, no
-    inter-block slices); outputs are bit-identical across routings
-    (tests/test_pallas_quant_block.py).
+    only where an end-to-end on-chip win is recorded: Cin ≤
+    PALLAS_QBLOCK_MAX_CIN, currently 0 i.e. XLA everywhere), ``'xla'``
+    (the all-XLA path), ``'pallas'`` (force the kernel on every
+    shape-eligible block, for benchmarking). The padded-activation contract
+    (block 0 keeps its chunk-pad, zero tails, no inter-block slices) is
+    engaged ONLY when some mid block will actually run the Pallas kernel —
+    it costs every XLA mid block ~2.4% pad rows plus a tail mask, so a
+    policy that routes everything to XLA must not pay it (round-5 fix:
+    this residual alone was ~6% of headline). Outputs are bit-identical
+    across routings (tests/test_pallas_quant_block.py).
 
     ``interpret``: run the Pallas kernels in interpret mode (CPU tests).
     """
@@ -319,7 +363,8 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
         interpret and cfg.dilations[0] == 1 and x.shape[-1] == 1
         and x.shape[1] % cfg.pool_sizes[0] == 0
     )
-    chain = blk0_pallas and routing != "xla"
+    chain = blk0_pallas and routing != "xla" and _any_mid_pallas(
+        cfg, x.shape[1], routing)
     if blk0_pallas:
         from ..ops.pallas_conv import pallas_conv_block0
 

@@ -100,6 +100,7 @@ def make_gpipe_real_encoder_fn(
     T: int,
     n_microbatches: int,
     axis: str = "pp",
+    train: bool = False,
 ):
     """GPipe over the REAL ConvEncoder (heterogeneous stages).
 
@@ -123,16 +124,31 @@ def make_gpipe_real_encoder_fn(
     length and stacked (S, P_max), sharded over ``axis`` — each device holds
     only its stage's slice, as in the homogeneous pipeline.
 
-    Returns ``(fn, pack)``: ``fn(stacked_flat (S, P_max), x_micro
-    (n_micro, mb, T, 1)) → (n_micro, mb, E)`` jitted over the mesh, equal to
-    the sequential eval forward; ``pack(variables) → stacked_flat``.
-    Inference-mode BN (running stats), like every serving forward. Fully
-    differentiable — see ``make_gpipe_real_train_step``.
+    ``train=False`` (inference-mode BN, running stats — every serving
+    forward): returns ``(fn, pack)`` with ``fn(stacked_flat (S, P_max),
+    x_micro (n_micro, mb, T, 1)) → (n_micro, mb, E)`` jitted over the mesh,
+    equal to the sequential eval forward; ``pack(variables) →
+    stacked_flat``.
+
+    ``train=True`` (production training semantics, round-4 verdict item 7):
+    every block normalizes with its OWN microbatch's batch statistics —
+    GPipe's standard per-microbatch BN, identical to feeding each
+    microbatch through the flax train-mode forward — and the pipeline
+    additionally emits the raw per-microbatch (mean, var) so running stats
+    can be updated. Returns ``(fn, pack, apply_stats)`` where ``fn(…) →
+    ((n_micro, mb, E), stats)`` and ``apply_stats(variables, stats) →
+    new batch_stats pytree`` applies the sequential per-microbatch EMA
+    (``r ← m·r + (1−m)·stat_t`` in microbatch order, m = cfg.bn_momentum)
+    — property-tested equal to chaining flax ``apply(train=True,
+    mutable=['batch_stats'])`` over the microbatches
+    (tests/test_parallel.py). Fully differentiable either way — see
+    ``make_gpipe_real_train_step``.
     """
     from jax.flatten_util import ravel_pytree
 
     from ..models.encoder import _DTYPES
     from ..models.fast_infer import _xla_block
+    from ..models.fused_train import _jnp_block_train
 
     S = mesh.shape[axis]
     if S != 2:
@@ -160,6 +176,14 @@ def make_gpipe_real_encoder_fn(
     P0, P1 = flat0_t.shape[0], flat1_t.shape[0]
     P_max = max(P0, P1)
 
+    # Per-stage batch-stat payload (train mode): stage 0 emits block 0's
+    # (mean, var), stage 1 the concat over blocks 1+ — padded to a common
+    # lane G so the lax.switch branches return one shape.
+    chans = [cfg.filters * m for m in cfg.filter_multipliers]
+    g0 = 2 * chans[0]
+    g1 = 2 * sum(chans[1:])
+    G = max(g0, g1)
+
     def pack(v):
         f0, _ = ravel_pytree(_split(v)[0])
         f1, _ = ravel_pytree(_split(v)[1])
@@ -174,30 +198,50 @@ def make_gpipe_real_encoder_fn(
             stacked, jax.sharding.NamedSharding(mesh, P(axis))
         )
 
+    def _block(x, v, i):
+        """One conv block, train (per-microbatch batch stats + raw (mean,
+        var) out) or eval (running stats, empty stats) — the train math is
+        ``fused_train._jnp_block_train`` with momentum=0 so its "new EMA"
+        IS the raw microbatch statistic."""
+        blk = v["params"][f"block_{i}"]
+        bst = v["batch_stats"][f"block_{i}"]["bn"]
+        if train:
+            h, bn = _jnp_block_train(
+                x, blk, bst, pool=cfg.pool_sizes[i],
+                dilation=cfg.dilations[i], eps=cfg.bn_epsilon,
+                momentum=0.0, dropout=0.0, drop_key=None, cdt=cdt,
+            )
+            return h, [bn["mean"].astype(jnp.float32),
+                       bn["var"].astype(jnp.float32)]
+        h = _xla_block(x, blk, bst, cfg.pool_sizes[i], cfg.dilations[i],
+                       cfg.bn_epsilon, cdt)
+        return h, []
+
+    def _pack_stats(parts):
+        if not train:
+            return jnp.zeros((G,), jnp.float32)
+        st = jnp.concatenate(parts)
+        return jnp.pad(st, (0, G - st.shape[0]))
+
     def stage0_fn(flat, act):
         v = unravel0(flat[:P0])
         x = act[: mb * T].reshape(mb, T, 1)
-        h = _xla_block(
-            x, v["params"]["block_0"], v["batch_stats"]["block_0"]["bn"],
-            cfg.pool_sizes[0], cfg.dilations[0], cfg.bn_epsilon, cdt,
-        )
+        h, st = _block(x, v, 0)
         out = h.astype(jnp.float32).reshape(-1)
-        return jnp.pad(out, (0, A - out.shape[0]))
+        return jnp.pad(out, (0, A - out.shape[0])), _pack_stats(st)
 
     def stage1_fn(flat, act):
         v = unravel1(flat[:P1])
         h = act[: mb * t1 * c0].reshape(mb, t1, c0)
+        st = []
         for i in range(1, n_blocks):
-            h = _xla_block(
-                h, v["params"][f"block_{i}"],
-                v["batch_stats"][f"block_{i}"]["bn"],
-                cfg.pool_sizes[i], cfg.dilations[i], cfg.bn_epsilon, cdt,
-            )
+            h, st_i = _block(h, v, i)
+            st += st_i
         h = jnp.max(h, axis=1)
         emb = v["params"]["embed"]
         out = (h @ emb["kernel"].astype(cdt) + emb["bias"].astype(cdt)
                ).astype(jnp.float32).reshape(-1)
-        return jnp.pad(out, (0, A - out.shape[0]))
+        return jnp.pad(out, (0, A - out.shape[0])), _pack_stats(st)
 
     def device_fn(flat_local, x_micro):
         my_flat = flat_local[0]
@@ -210,7 +254,7 @@ def make_gpipe_real_encoder_fn(
             inject = x_micro[jnp.minimum(t, n_microbatches - 1)].reshape(-1)
             inject = jnp.pad(inject, (0, A - inject.shape[0]))
             act_in = jnp.where(s == 0, inject, act_in)
-            y = jax.lax.switch(
+            y, st = jax.lax.switch(
                 jnp.minimum(s, S - 1), (stage0_fn, stage1_fn), my_flat, act_in
             )
             out_t = t - (S - 1)
@@ -222,26 +266,73 @@ def make_gpipe_real_encoder_fn(
                 (jnp.maximum(out_t, 0), 0, 0),
             )
             next_in = jax.lax.ppermute(y, axis, shift_perm)
-            return (next_in, outputs), None
+            return (next_in, outputs), st
 
         init = (
             jnp.zeros((A,), jnp.float32),
             jnp.zeros((n_microbatches, mb, E), jnp.float32),
         )
-        (_, outputs), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
+        (_, outputs), st_ys = jax.lax.scan(tick, init, jnp.arange(n_ticks))
         mask = (s == S - 1).astype(outputs.dtype)
-        return jax.lax.psum(outputs * mask, axis)
+        out = jax.lax.psum(outputs * mask, axis)
+        if not train:
+            return out
+        # Stage s saw microbatch t at tick s + t: its real-statistic rows
+        # are st_ys[s : s + n_micro] (everything else is bubble recompute).
+        stats_loc = jax.lax.dynamic_slice(
+            st_ys, (s, 0), (n_microbatches, G)
+        )
+        return out, stats_loc[None]
 
     fn = jax.jit(
         jax.shard_map(
             device_fn,
             mesh=mesh,
             in_specs=(P(axis), P()),
-            out_specs=P(),
+            out_specs=(P(), P(axis)) if train else P(),
             check_vma=False,
         )
     )
-    return fn, pack
+    if not train:
+        return fn, pack
+
+    def apply_stats(v, stats):
+        """Sequential per-microbatch EMA over the pipeline's raw stats.
+
+        ``stats``: (S, n_micro, G) from ``fn``. Returns a new batch_stats
+        pytree — identical to chaining flax ``apply(train=True,
+        mutable=['batch_stats'])`` microbatch by microbatch (running stats
+        never feed the train-mode forward, so only the EMA chains)."""
+        import numpy as np
+
+        # stats lives on this pipeline's sub-mesh while v may live on a
+        # different (e.g. full-DP) mesh; the EMA is O(channels) — do it on
+        # the host rather than mixing jit device sets.
+        stats = np.asarray(jax.device_get(stats))
+        m = cfg.bn_momentum
+        cur = {
+            k: {"bn": {"mean": v["batch_stats"][k]["bn"]["mean"],
+                       "var": v["batch_stats"][k]["bn"]["var"]}}
+            for k in v["batch_stats"]
+        }
+        for t in range(n_microbatches):
+            row0 = stats[0, t]
+            upd = {"block_0": (row0[: chans[0]],
+                               row0[chans[0]: 2 * chans[0]])}
+            row1, off = stats[1, t], 0
+            for i in range(1, n_blocks):
+                upd[f"block_{i}"] = (row1[off: off + chans[i]],
+                                     row1[off + chans[i]: off + 2 * chans[i]])
+                off += 2 * chans[i]
+            for k, (mu, var) in upd.items():
+                bn = cur[k]["bn"]
+                cur[k] = {"bn": {
+                    "mean": m * bn["mean"] + (1.0 - m) * mu,
+                    "var": m * bn["var"] + (1.0 - m) * var,
+                }}
+        return cur
+
+    return fn, pack, apply_stats
 
 
 def make_gpipe_real_train_step(
@@ -254,23 +345,31 @@ def make_gpipe_real_train_step(
     loss_fn: Callable,
     axis: str = "pp",
 ):
-    """Jitted ``(stacked_flat, x_micro, y) → (loss, grads)`` through the
-    real-encoder pipeline. Grads arrive in the same stacked per-stage flat
+    """Jitted ``(stacked_flat, x_micro, y) → (loss, grads, stats)`` through
+    the real-encoder pipeline with PRODUCTION train semantics: per-microbatch
+    batch-stat BN in the forward (flax ``train=True`` per microbatch — the
+    standard GPipe BN discipline) and raw per-microbatch (mean, var) out for
+    the running-stat EMA. Grads arrive in the same stacked per-stage flat
     layout (sharded over ``axis``); the backward rides the transposed
     pipeline (inverted ppermute ring) — property-tested equal to sequential
-    autodiff in tests/test_parallel.py. Returns ``(step, pack)``."""
-    gpipe, pack = make_gpipe_real_encoder_fn(
-        cfg, mesh, variables, mb, T, n_microbatches, axis=axis
+    flax train-mode autodiff in tests/test_parallel.py. Returns ``(step,
+    pack, apply_stats)``; after the optimizer update, refresh running stats
+    with ``apply_stats(variables, stats)``."""
+    gpipe, pack, apply_stats = make_gpipe_real_encoder_fn(
+        cfg, mesh, variables, mb, T, n_microbatches, axis=axis, train=True
     )
 
     @jax.jit
     def step(stacked_flat, x_micro, y):
         def objective(p):
-            return loss_fn(gpipe(p, x_micro), y)
+            out, stats = gpipe(p, x_micro)
+            return loss_fn(out, y), stats
 
-        return jax.value_and_grad(objective)(stacked_flat)
+        (loss, stats), grads = jax.value_and_grad(
+            objective, has_aux=True)(stacked_flat)
+        return loss, grads, stats
 
-    return step, pack
+    return step, pack, apply_stats
 
 
 def make_gpipe_train_step(
