@@ -154,7 +154,7 @@ def _check(name, got, ref):
     return ok
 
 
-def main(sweep=False):
+def main(sweep=False, only=None):
     x, params, s0 = _setup()
     prod = make_pallas(params, s0)
     ref = prod(x)
@@ -164,6 +164,10 @@ def main(sweep=False):
         "xla_phase": make_xla_phase(x, params, s0),
         "xla_plain": make_xla_plain(x, params, s0),
     }
+    if only:  # one variant per process — a hung Mosaic compile (dotg on
+        # the remote relay) must not starve the others of the chip
+        variants = {k: v for k, v in variants.items()
+                    if k.split(" ")[0] in only or k in only}
     flops = 2 * B * T * K * C
     for name, fn in variants.items():
         try:
@@ -194,4 +198,6 @@ def main(sweep=False):
 
 
 if __name__ == "__main__":
-    main(sweep=(len(sys.argv) > 1 and sys.argv[1] == "sweep"))
+    argv = sys.argv[1:]
+    main(sweep=("sweep" in argv),
+         only=[a for a in argv if a != "sweep"] or None)

@@ -71,6 +71,12 @@ def parse_args():
                    help="with --protocol: run anyway on a corpus that fails "
                         "the manifest identity check; results are marked "
                         "non-comparable")
+    p.add_argument("--int8-gate", action="store_true",
+                   help="with --protocol: run every entry twice (full "
+                        "precision AND int8 serving) and z-test decision "
+                        "agreement per metric — the deployment fidelity "
+                        "statement; emits {int8_accuracy_gate: pass|fail} "
+                        "with per-entry CI fields and exits non-zero on fail")
     return p.parse_args()
 
 
@@ -186,6 +192,10 @@ def main():
             "per manifest entry on that entry's store"
         )
 
+    if args.int8_gate and not args.protocol:
+        raise SystemExit("--int8-gate requires --protocol (the gate is a "
+                         "statement about the frozen manifest entries)")
+
     if args.protocol:
         import json
 
@@ -196,6 +206,16 @@ def main():
                 "--protocol runs the manifest's pinned (n, k) entries; "
                 "--k-sweep is the ad-hoc path — drop one of the two"
             )
+        if args.int8_gate:
+            verdict = protocol.int8_accuracy_gate(
+                model, state, args.data_root, cfg,
+                allow_corpus_mismatch=args.allow_corpus_mismatch,
+                max_store_seconds=args.max_store_seconds, fast=args.fast,
+            )
+            print(json.dumps(verdict))
+            if verdict["int8_accuracy_gate"] != "pass":
+                raise SystemExit(2)
+            return
         # One cache for both passes: corpus decode, device stores, and int8
         # calibration are shared between the accuracy and EER/AUC entries.
         store_cache = {}

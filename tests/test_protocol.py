@@ -117,6 +117,50 @@ def test_protocol_int8_flag(proto_corpus):
     assert abs(r32[0]["accuracy"] - results[0]["accuracy"]) <= 0.10
 
 
+def test_int8_accuracy_gate_integration(proto_corpus):
+    """The decision-agreement gate (r4 verdict #6) runs both precision
+    passes on every entry (accuracy AND verification metrics), applies the
+    manifest z-test per metric, and passes on a model whose int8 PTQ is
+    faithful (any model: identical pinned seeds score the same tasks)."""
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+    m["entries"] = [dict(m["entries"][0], num_tasks=50)]
+    m["verification"]["entries"] = [
+        dict(m["verification"]["entries"][0], num_pairs=200)]
+    verdict = protocol.int8_accuracy_gate(
+        model, state, proto_corpus, cfg, manifest=m,
+        allow_corpus_mismatch=True, max_store_seconds=5.0,
+    )
+    assert verdict["int8_accuracy_gate"] == "pass"
+    assert [c["metric"] for c in verdict["checks"]] == [
+        "accuracy", "eer", "auc"]
+    for c in verdict["checks"]:
+        assert c["agree"] and c["diff"] <= c["tolerance"]
+        assert 0.0 <= c["base"] <= 1.0 and 0.0 <= c["int8"] <= 1.0
+    # synthetic corpus fails the identity check → marked non-comparable
+    assert verdict["comparable_to_reference"] is False
+    json.dumps(verdict)  # machine-readable
+
+
+def test_int8_accuracy_gate_fails_on_disagreement(proto_corpus, monkeypatch):
+    """z-test logic: a metric gap beyond z·sqrt(se²+se²) flips the verdict."""
+    model, state, cfg = _model_and_cfg(proto_corpus)
+    m = protocol.load_manifest()
+
+    def fake_run(model, state, data_root, cfg_base, int8=False, **kw):
+        return [{"entry": "e", "accuracy": 0.90 if int8 else 0.70,
+                 "stderr": 0.02, "comparable_to_reference": True}]
+
+    monkeypatch.setattr(protocol, "run_protocol", fake_run)
+    monkeypatch.setattr(protocol, "run_verification_protocol",
+                        lambda *a, **kw: [])
+    verdict = protocol.int8_accuracy_gate(
+        model, state, proto_corpus, cfg, manifest=m)
+    assert verdict["int8_accuracy_gate"] == "fail"
+    assert verdict["checks"][0]["agree"] is False
+    assert verdict["comparable_to_reference"] is True
+
+
 def test_protocol_seed_pinned_reproducible(proto_corpus):
     """Same manifest seeds ⇒ bit-identical accuracy across runs."""
     model, state, cfg = _model_and_cfg(proto_corpus)

@@ -264,6 +264,76 @@ def run_protocol(
     return results
 
 
+def int8_accuracy_gate(
+    model,
+    state,
+    data_root: str,
+    cfg_base,
+    manifest: Optional[Dict] = None,
+    allow_corpus_mismatch: bool = False,
+    max_store_seconds: Optional[float] = None,
+    fast: bool = False,
+    store_cache: Optional[Dict] = None,
+) -> Dict:
+    """Decision-agreement gate: does int8 serving reproduce bf16/f32
+    accuracy under the frozen protocol? (round-4 verdict #6)
+
+    Runs every manifest entry (n-shot accuracy AND verification EER/AUC)
+    twice — once through the full-precision forward, once through the int8
+    PTQ serving path calibrated per entry on that entry's store — and
+    applies the manifest's own acceptance z-test to each pair:
+    ``agree iff |m_int8 − m_base| ≤ z·sqrt(se_base² + se_int8²)``.
+
+    This is the deployment-relevant fidelity statement (the bench's
+    min-cosine-on-noise gate is a proxy): identical task/pair seeds mean
+    both passes score the SAME decisions, so a disagreement beyond
+    sampling noise is quantization error, not protocol variance. Corpus
+    decode + device stores are shared across all four passes via
+    ``store_cache``; embedding tables are cached per (state, int8) pair.
+
+    Returns ``{"int8_accuracy_gate": "pass"|"fail", "z": z, "checks":
+    [per-entry-metric dicts], "comparable_to_reference": bool}``.
+    """
+    manifest = manifest or load_manifest()
+    cache: Dict = {} if store_cache is None else store_cache
+    kw = dict(
+        manifest=manifest, allow_corpus_mismatch=allow_corpus_mismatch,
+        max_store_seconds=max_store_seconds, fast=fast, store_cache=cache,
+    )
+    base = (run_protocol(model, state, data_root, cfg_base, int8=False, **kw)
+            + run_verification_protocol(
+                model, state, data_root, cfg_base, int8=False, **kw))
+    quant = (run_protocol(model, state, data_root, cfg_base, int8=True, **kw)
+             + run_verification_protocol(
+                 model, state, data_root, cfg_base, int8=True, **kw))
+    z = float(manifest["acceptance"]["z"])
+    checks: List[Dict] = []
+    for b, q in zip(base, quant):
+        assert b["entry"] == q["entry"], "protocol pass order diverged"
+        if "accuracy" in b:
+            metrics = [("accuracy", "stderr")]
+        else:  # verification entry: gate both pinned metrics
+            metrics = [("eer", "eer_stderr"), ("auc", "auc_stderr")]
+        for mkey, skey in metrics:
+            diff = abs(float(q[mkey]) - float(b[mkey]))
+            tol = z * math.sqrt(float(b[skey]) ** 2 + float(q[skey]) ** 2)
+            checks.append({
+                "entry": b["entry"], "metric": mkey,
+                "base": float(b[mkey]), "int8": float(q[mkey]),
+                "diff": round(diff, 4), "tolerance": round(tol, 4),
+                "agree": diff <= tol,
+            })
+    return {
+        "int8_accuracy_gate": (
+            "pass" if all(c["agree"] for c in checks) else "fail"),
+        "z": z,
+        "checks": checks,
+        "comparable_to_reference": all(
+            r.get("comparable_to_reference", r.get("comparable", False))
+            for r in base),
+    }
+
+
 def run_verification_protocol(
     model,
     state,
