@@ -111,18 +111,18 @@ def make_conv_f32(qblk):
     return fn
 
 
-def make_pallas(qblk, t, t_pad, t_len, b_blk=4):
+def make_pallas(qblk, t, t_pad, t_len, b_blk=4, variant="pshift"):
     from voicemap_tpu.ops.pallas_quant_block import (
-        cat_weights, pallas_quant_block,
+        cat_weights, pallas_quant_block, stack_weights,
     )
 
-    wcat = cat_weights(qblk["w_q"])
+    wop = (stack_weights if variant == "xk" else cat_weights)(qblk["w_q"])
 
     @jax.jit
     def fn(xp):
         return pallas_quant_block(
-            xp, wcat, qblk["alpha"], qblk["beta"], qblk["gamma"],
-            t_valid=t, t_len=t_len, b_blk=b_blk)
+            xp, wop, qblk["alpha"], qblk["beta"], qblk["gamma"],
+            t_valid=t, t_len=t_len, b_blk=b_blk, variant=variant)
     return fn
 
 
@@ -141,7 +141,11 @@ def main(block=1):
     cin, cout, t = SHAPES[block]
     x, qblk = _setup(cin, cout, t)
     prod = make_prod(qblk)
-    ref = np.asarray(prod(x))
+    # Parity stays ON DEVICE: np.asarray(ref) is a 3+ GB int32 D2H that
+    # takes >10 min over the axon tunnel (discovered round 5 — the bench
+    # "hung" before its first print). Fetch only scalar summaries.
+    ref = prod(x)
+    print("ref computed", flush=True)
     ops = 2 * B * t * 3 * cin * cout
     # Measured on-chip 2026-08-19 (block 1): prod 8.70 ms / 139 TOP/s;
     # dot3 81.2 ms (XLA materializes the int32 accumulator + .at adds);
@@ -160,25 +164,39 @@ def main(block=1):
         })
     t_pad = -(-t // 256) * 256
     xp = jnp.zeros((B, t_pad, cin), jnp.int8).at[:, :t].set(x)
+    only = os.environ.get("QB1_ONLY")  # comma-separated name substrings
     for t_len, b_blk in ((128, 4), (256, 4), (512, 4), (256, 8)):
         if t_pad % t_len == 0:
             variants[f"pallas t{t_len} b{b_blk}"] = (
                 make_pallas(qblk, t, t_pad, t_len, b_blk), xp)
+            variants[f"xk t{t_len} b{b_blk}"] = (
+                make_pallas(qblk, t, t_pad, t_len, b_blk, variant="xk"), xp)
+    if only:
+        keys = [s.strip() for s in only.split(",")]
+        variants = {k: v for k, v in variants.items()
+                    if any(s in k for s in keys)}
     print(f"block {block}: Cin={cin} Cout={cout} T={t} B={B} "
           f"({ops/1e12:.2f} Tops)")
+    @jax.jit
+    def _parity(got, ref):
+        d = jnp.abs(got.astype(jnp.int32) - ref.astype(jnp.int32))
+        return jnp.max(d), jnp.mean((d > 0).astype(jnp.float32))
+
     for name, fv in variants.items():
         fn, arg = fv if isinstance(fv, tuple) else (fv, x)
         try:
-            out = np.asarray(fn(arg))
+            out = fn(arg)  # stays on device (D2H of 786 MB+ is minutes)
+            out.block_until_ready()
         except Exception as e:  # noqa: BLE001
             print(f"  {name}: FAILS — {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:110]}")
+                  f"{str(e).splitlines()[0][:110]}", flush=True)
             continue
         note = ""
         if name not in ("prod", "conv_nofuse"):
-            got = out[:, : t // 2] if name.startswith("pallas") else out
-            d = np.abs(got.astype(np.int32) - ref.astype(np.int32))
-            note = f"  parity max|Δ|={int(d.max())} frac={(d > 0).mean():.1e}"
+            got = (out[:, : t // 2]
+                   if name.startswith(("pallas", "xk")) else out)
+            mx, frac = _parity(got, ref)
+            note = (f"  parity max|Δ|={int(mx)} frac={float(frac):.1e}")
         r = throughput(fn, arg, items_per_call=1, iters=20)
         ms = r["sec_per_call"] * 1e3
         print(f"  {name:>14}: {ms:8.3f} ms  {ops/r['sec_per_call']/1e12:6.1f} "

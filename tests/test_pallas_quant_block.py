@@ -19,7 +19,9 @@ from voicemap_tpu.models.quant_infer import (
     quant_embed,
     quantize_encoder,
 )
-from voicemap_tpu.ops.pallas_quant_block import cat_weights, pallas_quant_block
+from voicemap_tpu.ops.pallas_quant_block import (
+    cat_weights, pallas_quant_block, stack_weights,
+)
 
 
 def _rand_qblk(rng, cin, cout):
@@ -33,6 +35,7 @@ def _rand_qblk(rng, cin, cout):
     }
 
 
+@pytest.mark.parametrize("variant", ["pshift", "xk"])
 @pytest.mark.parametrize(
     "cin,cout,T,t_pad,t_len,last",
     [
@@ -43,7 +46,8 @@ def _rand_qblk(rng, cin, cout):
         (16, 16, 48, 48, 64, False),   # t_len > t_pad → auto-halved
     ],
 )
-def test_kernel_matches_quant_block_exactly(cin, cout, T, t_pad, t_len, last):
+def test_kernel_matches_quant_block_exactly(cin, cout, T, t_pad, t_len, last,
+                                            variant):
     rng = np.random.default_rng(7)
     x = rng.integers(-127, 128, (4, T, cin)).astype(np.int8)
     qblk = _rand_qblk(rng, cin, cout)
@@ -51,10 +55,12 @@ def test_kernel_matches_quant_block_exactly(cin, cout, T, t_pad, t_len, last):
                        out_dtype=jnp.bfloat16)
     xp = np.zeros((4, t_pad, cin), np.int8)
     xp[:, :T] = x
+    prep = cat_weights if variant == "pshift" else stack_weights
     out = pallas_quant_block(
-        jnp.asarray(xp), cat_weights(qblk["w_q"]), qblk["alpha"],
+        jnp.asarray(xp), prep(qblk["w_q"]), qblk["alpha"],
         qblk["beta"], qblk["gamma"], t_valid=T, t_len=t_len, last=last,
-        out_dtype=jnp.bfloat16 if last else jnp.int8, interpret=True)
+        out_dtype=jnp.bfloat16 if last else jnp.int8, variant=variant,
+        interpret=True)
     got = np.asarray(out[:, : T // 2].astype(jnp.float32))
     want = np.asarray(ref.astype(jnp.float32))
     np.testing.assert_array_equal(got, want)
@@ -82,10 +88,15 @@ def test_cat_weights_k3_only():
         cat_weights(jnp.zeros((5, 8, 8), jnp.int8))
 
 
+@pytest.mark.parametrize("variant", ["pshift", "xk"])
 @pytest.mark.parametrize("routing", ["pallas", "auto"])
-def test_quant_embed_chain_matches_legacy(routing):
+def test_quant_embed_chain_matches_legacy(routing, variant, monkeypatch):
     """The padded chain (Pallas block 0 keep_pad + fused/pad-aware mid
-    blocks) is bit-identical to the legacy exact-T XLA path."""
+    blocks) is bit-identical to the legacy exact-T XLA path — under both
+    kernel formulations."""
+    from voicemap_tpu.models import quant_infer
+
+    monkeypatch.setattr(quant_infer, "PALLAS_QBLOCK_VARIANT", variant)
     cfg = EncoderConfig(filters=8, embedding_dim=16, dropout=0.0,
                         compute_dtype="float32")
     rng = np.random.default_rng(3)

@@ -282,6 +282,12 @@ def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype,
 # on-chip win recorded in BASELINE.md.
 PALLAS_QBLOCK_MAX_CIN = 0
 
+# Kernel formulation used when the qblock kernel IS selected: "pshift"
+# (one (t, Cin)@(Cin, 3·Cout) pass + sublane-shifted adds) or "xk" (taps
+# folded into the GEMM K dim, (t, 3·Cin)@(3·Cin, Cout) — the
+# bench_qblock_attrib redesign). Bit-identical outputs; perf differs.
+PALLAS_QBLOCK_VARIANT = "pshift"
+
 
 # pallas_quant_block holds whole (b_blk, T_pad, Cin) input and
 # (b_blk, T_pad/2, Cout) output rows in VMEM; leave headroom under the
@@ -399,13 +405,16 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
         )
         if use_pallas:
             from ..ops.pallas_quant_block import (
-                cat_weights, pallas_quant_block,
+                cat_weights, pallas_quant_block, stack_weights,
             )
 
+            prep = (stack_weights if PALLAS_QBLOCK_VARIANT == "xk"
+                    else cat_weights)
             h_q = pallas_quant_block(
-                h_q, cat_weights(qblk["w_q"]), qblk["alpha"], qblk["beta"],
+                h_q, prep(qblk["w_q"]), qblk["alpha"], qblk["beta"],
                 qblk["gamma"], t_valid=t_valid, last=last,
-                out_dtype=cdt if last else jnp.int8, interpret=interpret,
+                out_dtype=cdt if last else jnp.int8,
+                variant=PALLAS_QBLOCK_VARIANT, interpret=interpret,
             )
         else:
             h_q = _quant_block(h_q, qblk, pool, cfg.dilations[i], last=last,

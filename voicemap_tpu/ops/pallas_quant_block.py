@@ -62,6 +62,13 @@ def cat_weights(w_q: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([w_q[0], w_q[1], w_q[2]], axis=1)
 
 
+def stack_weights(w_q: jnp.ndarray) -> jnp.ndarray:
+    """(3, Cin, Cout) int8 conv taps → (3·Cin, Cout) K-stacked (xk variant)."""
+    if w_q.shape[0] != 3:
+        raise ValueError("pallas_quant_block is k=3 only")
+    return jnp.concatenate([w_q[0], w_q[1], w_q[2]], axis=0)
+
+
 def _zeros_rows(n, c, dtype):
     return jnp.zeros((n, c), dtype)
 
@@ -146,14 +153,83 @@ def _kernel(
             o_ref[r, u_base: u_base + u_ch, :] = out
 
 
+def _kernel_xk(
+    x_ref,    # (b_blk, T_pad, Cin) int8
+    w_ref,    # (3*Cin, Cout) int8 (stack_weights)
+    aff_ref,  # (8, Cout) f32: [0]=alpha, [1]=beta, [2]=gamma
+    o_ref,    # (b_blk, T_pad//2, Cout) int8 | bf16
+    *,
+    b_blk: int,
+    t_len: int,
+    n_ch: int,
+    c_in: int,
+    c_out: int,
+    t_valid: int,
+    last: bool,
+):
+    """Taps folded into the GEMM K dim (r4 verdict #3 redesign candidate).
+
+    ``X3 (t_len, 3·Cin) = [x[t−1] | x[t] | x[t+1]]`` lane-concatenated, so
+    the k=3 SAME conv is ONE ``X3 @ W3 (3·Cin, Cout)`` int8 MXU pass —
+    no 3-wide int32 P tensor and no sublane-shifted adds (which the
+    bench_qblock_attrib staging showed were the proportional-VPU cost),
+    at the price of two shifted int8 relayout copies per chunk.
+    """
+    alpha = aff_ref[0, :]
+    beta = aff_ref[1, :]
+    gamma = aff_ref[2, :]
+    pos = alpha > 0.0
+    u_ch = t_len // 2
+    u_valid = t_valid // 2
+    zrow = jnp.zeros((1, c_in), jnp.int8)
+    for r in range(b_blk):
+        row = x_ref[r]  # (T_pad, Cin) int8
+        rows = row.shape[0]
+        for cc in range(n_ch):
+            base = cc * t_len
+            u_base = base // 2
+            if u_base >= u_valid:
+                o_ref[r, u_base: u_base + u_ch, :] = jnp.zeros(
+                    (u_ch, c_out), o_ref.dtype)
+                continue
+            lo = (jnp.concatenate([zrow, row[: t_len - 1]], 0) if cc == 0
+                  else row[base - 1: base + t_len - 1])
+            mid = row[base: base + t_len]
+            hi = (jnp.concatenate([row[base + 1: rows], zrow], 0)
+                  if base + t_len + 1 > rows
+                  else row[base + 1: base + t_len + 1])
+            x3 = jnp.concatenate([lo, mid, hi], axis=1)  # (t_len, 3*Cin)
+            acc = jax.lax.dot_general(
+                x3, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (t_len, Cout)
+            pairs = acc.reshape(u_ch, 2 * c_out)
+            pmax = jnp.maximum(pairs[:, :c_out], pairs[:, c_out:])
+            pmin = jnp.minimum(pairs[:, :c_out], pairs[:, c_out:])
+            sel = jnp.where(pos[None, :], pmax, pmin).astype(jnp.float32)
+            z = jax.nn.relu(sel + beta[None, :]) * alpha[None, :] \
+                + gamma[None, :]
+            if last:
+                out = z.astype(o_ref.dtype)
+            else:
+                out = jnp.clip(jnp.round(z), -127, 127).astype(o_ref.dtype)
+            if u_base + u_ch > u_valid:
+                idx = jax.lax.broadcasted_iota(jnp.int32, (u_ch, c_out), 0)
+                out = jnp.where(idx < (u_valid - u_base), out,
+                                jnp.zeros_like(out))
+            o_ref[r, u_base: u_base + u_ch, :] = out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("t_valid", "t_len", "b_blk", "last", "out_dtype",
-                     "interpret"),
+                     "variant", "interpret"),
 )
 def pallas_quant_block(
     x_q: jnp.ndarray,      # (B, T_pad, Cin) int8, rows ≥ t_valid are zero
-    w_cat: jnp.ndarray,    # (Cin, 3*Cout) int8 (cat_weights)
+    w_op: jnp.ndarray,     # int8 weights: (Cin, 3·Cout) for variant
+                           # "pshift" (cat_weights) | (3·Cin, Cout) for
+                           # "xk" (stack_weights)
     alpha: jnp.ndarray,    # (Cout,) f32 epilogue vectors (quant_infer fold)
     beta: jnp.ndarray,
     gamma: jnp.ndarray,
@@ -163,15 +239,30 @@ def pallas_quant_block(
     b_blk: int = 4,
     last: bool = False,
     out_dtype=jnp.int8,
+    variant: str = "pshift",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused int8 conv(k=3, SAME)+relu+BN-affine+requant+maxpool(2).
 
     Returns (B, T_pad//2, Cout) with rows ≥ t_valid//2 zero — chainable
     into the next ``pallas_quant_block`` with no XLA pass in between.
+
+    ``variant``: "pshift" — one (t_len+2, Cin) @ (Cin, 3·Cout) pass, conv
+    taps summed as two sublane-shifted int32 adds; "xk" — taps folded into
+    the GEMM K dim, (t_len, 3·Cin) @ (3·Cin, Cout), no shifted adds
+    (pass ``stack_weights(w_q)``). Bit-identical outputs.
     """
     B, t_pad, c_in = x_q.shape
-    c_out = w_cat.shape[1] // 3
+    if variant == "pshift":
+        c_out = w_op.shape[1] // 3
+        if w_op.shape[0] != c_in:
+            raise ValueError("pshift wants cat_weights (Cin, 3*Cout)")
+    elif variant == "xk":
+        c_out = w_op.shape[1]
+        if w_op.shape[0] != 3 * c_in:
+            raise ValueError("xk wants stack_weights (3*Cin, Cout)")
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
     if x_q.dtype != jnp.int8:
         raise ValueError("x_q must be int8")
     if t_valid % 2 or t_pad % 2:
@@ -187,17 +278,23 @@ def pallas_quant_block(
     aff = aff.at[0].set(alpha.astype(jnp.float32))
     aff = aff.at[1].set(beta.astype(jnp.float32))
     aff = aff.at[2].set(gamma.astype(jnp.float32))
-    kernel = functools.partial(
-        _kernel, b_blk=b_blk, t_len=t_len, n_ch=n_ch, c_out=c_out,
-        t_valid=t_valid, last=last,
-    )
+    if variant == "pshift":
+        kernel = functools.partial(
+            _kernel, b_blk=b_blk, t_len=t_len, n_ch=n_ch, c_out=c_out,
+            t_valid=t_valid, last=last,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel_xk, b_blk=b_blk, t_len=t_len, n_ch=n_ch, c_in=c_in,
+            c_out=c_out, t_valid=t_valid, last=last,
+        )
     return pl.pallas_call(
         kernel,
         grid=(B // b_blk,),
         in_specs=[
             pl.BlockSpec((b_blk, t_pad, c_in), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_cat.shape, lambda i: (0, 0),
+            pl.BlockSpec(w_op.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(aff.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -207,4 +304,4 @@ def pallas_quant_block(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, t_pad // 2, c_out), out_dtype),
         interpret=interpret,
-    )(x_q, w_cat, aff)
+    )(x_q, w_op, aff)
