@@ -116,7 +116,7 @@ def make_pallas(qblk, t, t_pad, t_len, b_blk=4, variant="pshift"):
         cat_weights, pallas_quant_block, stack_weights,
     )
 
-    wop = (stack_weights if variant == "xk" else cat_weights)(qblk["w_q"])
+    wop = (cat_weights if variant == "pshift" else stack_weights)(qblk["w_q"])
 
     @jax.jit
     def fn(xp):
@@ -171,6 +171,8 @@ def main(block=1):
                 make_pallas(qblk, t, t_pad, t_len, b_blk), xp)
             variants[f"xk t{t_len} b{b_blk}"] = (
                 make_pallas(qblk, t, t_pad, t_len, b_blk, variant="xk"), xp)
+            variants[f"xk3 t{t_len} b{b_blk}"] = (
+                make_pallas(qblk, t, t_pad, t_len, b_blk, variant="xk3"), xp)
     if only:
         keys = [s.strip() for s in only.split(",")]
         variants = {k: v for k, v in variants.items()

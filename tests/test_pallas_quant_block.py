@@ -35,7 +35,7 @@ def _rand_qblk(rng, cin, cout):
     }
 
 
-@pytest.mark.parametrize("variant", ["pshift", "xk"])
+@pytest.mark.parametrize("variant", ["pshift", "xk", "xk3"])
 @pytest.mark.parametrize(
     "cin,cout,T,t_pad,t_len,last",
     [
@@ -88,7 +88,7 @@ def test_cat_weights_k3_only():
         cat_weights(jnp.zeros((5, 8, 8), jnp.int8))
 
 
-@pytest.mark.parametrize("variant", ["pshift", "xk"])
+@pytest.mark.parametrize("variant", ["pshift", "xk", "xk3"])
 @pytest.mark.parametrize("routing", ["pallas", "auto"])
 def test_quant_embed_chain_matches_legacy(routing, variant, monkeypatch):
     """The padded chain (Pallas block 0 keep_pad + fused/pad-aware mid

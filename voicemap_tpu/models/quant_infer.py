@@ -283,9 +283,11 @@ def _quant_block(x_q, qblk, pool, dilation, *, last, out_dtype,
 PALLAS_QBLOCK_MAX_CIN = 0
 
 # Kernel formulation used when the qblock kernel IS selected: "pshift"
-# (one (t, Cin)@(Cin, 3·Cout) pass + sublane-shifted adds) or "xk" (taps
-# folded into the GEMM K dim, (t, 3·Cin)@(3·Cin, Cout) — the
-# bench_qblock_attrib redesign). Bit-identical outputs; perf differs.
+# (one (t, Cin)@(Cin, 3·Cout) pass + sublane-shifted adds), "xk" (taps
+# folded into the GEMM K dim, (t, 3·Cin)@(3·Cin, Cout) — does NOT lower
+# on axon Mosaic: lane-concat of a sublane-offset int8 slice), or "xk3"
+# (three per-tap K=Cin dots accumulated in int32 — the lowering-safe
+# realization of the same no-wide-P idea). Bit-identical outputs.
 PALLAS_QBLOCK_VARIANT = "pshift"
 
 
@@ -408,7 +410,7 @@ def quant_embed(variables: Dict, qvars: Dict, cfg: EncoderConfig,
                 cat_weights, pallas_quant_block, stack_weights,
             )
 
-            prep = (stack_weights if PALLAS_QBLOCK_VARIANT == "xk"
+            prep = (stack_weights if PALLAS_QBLOCK_VARIANT in ("xk", "xk3")
                     else cat_weights)
             h_q = pallas_quant_block(
                 h_q, prep(qblk["w_q"]), qblk["alpha"], qblk["beta"],

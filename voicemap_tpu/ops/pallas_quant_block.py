@@ -10,6 +10,14 @@ Pallas ``jnp.dot(int8, int8, preferred_element_type=int32)`` measures
 ~74% peak in XLA; this kernel targets the block-1 gap and is adopted
 per-block only where it measures faster.
 
+STATUS (2026-08-19, BASELINE.md round-5 table): measured NEGATIVE in all
+three formulations — pshift 27.1 ms, xk does not lower (lane-concat of a
+sublane-offset int8 slice), xk3 21.0 ms — vs XLA's 8.62 ms on block 1.
+Mosaic relayout of ±1-sublane-shifted int8 (32-packed) operands costs
+more than the MXU pass it feeds; XLA's conv emitter handles the shift
+structure natively. ``routing="xla"`` is production; this kernel stays
+as engineering record, forceable via ``routing="pallas"``.
+
 Formulation — no pooled-GEMM overhead (the round-1 pair-merge kernel paid
 (k+1)/k extra FLOPs; this one pays none):
 
@@ -153,6 +161,79 @@ def _kernel(
             o_ref[r, u_base: u_base + u_ch, :] = out
 
 
+def _kernel_xk3(
+    x_ref,    # (b_blk, T_pad, Cin) int8
+    w_ref,    # (3*Cin, Cout) int8 (stack_weights)
+    aff_ref,  # (8, Cout) f32: [0]=alpha, [1]=beta, [2]=gamma
+    o_ref,    # (b_blk, T_pad//2, Cout) int8 | bf16
+    *,
+    b_blk: int,
+    t_len: int,
+    n_ch: int,
+    c_in: int,
+    c_out: int,
+    t_valid: int,
+    last: bool,
+):
+    """Three per-tap K=Cin int8 dots accumulated in int32.
+
+    The pure xk lane-concat ``[x[t−1] | x[t] | x[t+1]]`` does NOT lower on
+    this Mosaic ("result/input offset mismatch on non-concat dimension":
+    the +1-shifted int8 slice carries sublane offset {1,0} into a lane-dim
+    tpu.concatenate). Same-K accumulation sidesteps the concat: the three
+    shifted views each feed their own MXU pass (Mosaic relayouts matmul
+    operands), so there is still no 3-wide int32 P and no shifted int32
+    adds — the relayout copies are int8 (16× less data than pshift's
+    int32 P slices).
+    """
+    alpha = aff_ref[0, :]
+    beta = aff_ref[1, :]
+    gamma = aff_ref[2, :]
+    pos = alpha > 0.0
+    u_ch = t_len // 2
+    u_valid = t_valid // 2
+    zrow = jnp.zeros((1, c_in), jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    for r in range(b_blk):
+        row = x_ref[r]  # (T_pad, Cin) int8
+        rows = row.shape[0]
+        for cc in range(n_ch):
+            base = cc * t_len
+            u_base = base // 2
+            if u_base >= u_valid:
+                o_ref[r, u_base: u_base + u_ch, :] = jnp.zeros(
+                    (u_ch, c_out), o_ref.dtype)
+                continue
+            lo = (jnp.concatenate([zrow, row[: t_len - 1]], 0) if cc == 0
+                  else row[base - 1: base + t_len - 1])
+            mid = row[base: base + t_len]
+            hi = (jnp.concatenate([row[base + 1: rows], zrow], 0)
+                  if base + t_len + 1 > rows
+                  else row[base + 1: base + t_len + 1])
+            acc = jax.lax.dot_general(
+                lo, w_ref[:c_in], dn, preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                mid, w_ref[c_in: 2 * c_in], dn,
+                preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                hi, w_ref[2 * c_in:], dn, preferred_element_type=jnp.int32)
+            pairs = acc.reshape(u_ch, 2 * c_out)
+            pmax = jnp.maximum(pairs[:, :c_out], pairs[:, c_out:])
+            pmin = jnp.minimum(pairs[:, :c_out], pairs[:, c_out:])
+            sel = jnp.where(pos[None, :], pmax, pmin).astype(jnp.float32)
+            z = jax.nn.relu(sel + beta[None, :]) * alpha[None, :] \
+                + gamma[None, :]
+            if last:
+                out = z.astype(o_ref.dtype)
+            else:
+                out = jnp.clip(jnp.round(z), -127, 127).astype(o_ref.dtype)
+            if u_base + u_ch > u_valid:
+                idx = jax.lax.broadcasted_iota(jnp.int32, (u_ch, c_out), 0)
+                out = jnp.where(idx < (u_valid - u_base), out,
+                                jnp.zeros_like(out))
+            o_ref[r, u_base: u_base + u_ch, :] = out
+
+
 def _kernel_xk(
     x_ref,    # (b_blk, T_pad, Cin) int8
     w_ref,    # (3*Cin, Cout) int8 (stack_weights)
@@ -257,10 +338,10 @@ def pallas_quant_block(
         c_out = w_op.shape[1] // 3
         if w_op.shape[0] != c_in:
             raise ValueError("pshift wants cat_weights (Cin, 3*Cout)")
-    elif variant == "xk":
+    elif variant in ("xk", "xk3"):
         c_out = w_op.shape[1]
         if w_op.shape[0] != 3 * c_in:
-            raise ValueError("xk wants stack_weights (3*Cin, Cout)")
+            raise ValueError(f"{variant} wants stack_weights (3*Cin, Cout)")
     else:
         raise ValueError(f"unknown variant {variant!r}")
     if x_q.dtype != jnp.int8:
@@ -285,7 +366,8 @@ def pallas_quant_block(
         )
     else:
         kernel = functools.partial(
-            _kernel_xk, b_blk=b_blk, t_len=t_len, n_ch=n_ch, c_in=c_in,
+            _kernel_xk3 if variant == "xk3" else _kernel_xk,
+            b_blk=b_blk, t_len=t_len, n_ch=n_ch, c_in=c_in,
             c_out=c_out, t_valid=t_valid, last=last,
         )
     return pl.pallas_call(
