@@ -19,9 +19,10 @@ def reference_block(x, w, b, scale, bias, mean, var, eps, pool):
     return nn.max_pool(y, (pool,), (pool,))
 
 
+@pytest.mark.parametrize("contract", ["vpu_t", "dotg"])
 @pytest.mark.parametrize("k,pool,T,C", [(32, 4, 512, 128), (32, 4, 1280, 16),
                                         (8, 2, 256, 32)])
-def test_pallas_block0_matches_xla(k, pool, T, C):
+def test_pallas_block0_matches_xla(k, pool, T, C, contract):
     rng = np.random.default_rng(0)
     B = 4
     x = jnp.asarray(rng.standard_normal((B, T, 1)), jnp.float32)
@@ -36,14 +37,15 @@ def test_pallas_block0_matches_xla(k, pool, T, C):
     out = pallas_conv_block0(
         x, w, b, scale, bias, mean, var, eps, pool=pool,
         block_rows=2, t_chunk=128, interpret=True, out_dtype=jnp.float32,
-        gemm_dtype=jnp.float32,
+        gemm_dtype=jnp.float32, contract=contract,
     )
     assert out.shape == expect.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_block0_requant_epilogue():
+@pytest.mark.parametrize("contract", ["vpu_t", "dotg"])
+def test_pallas_block0_requant_epilogue(contract):
     """requant_scale → int8 output = clip(round(h / s0)) of the f32 block
     output (the serving path's fused s0 fold, models/quant_infer.py)."""
     rng = np.random.default_rng(7)
@@ -64,7 +66,7 @@ def test_pallas_block0_requant_epilogue():
     out = pallas_conv_block0(
         x, w, b, scale, bias, mean, var, 1e-3, pool=4, block_rows=2,
         t_chunk=128, interpret=True, gemm_dtype=jnp.float32,
-        requant_scale=s0,
+        requant_scale=s0, contract=contract,
     )
     assert out.dtype == jnp.int8
     mismatch = np.mean(np.asarray(out) != expect)
