@@ -165,7 +165,16 @@ def throughput(
     fn: Callable, *args, items_per_call: int, iters: int = 30, warmup: int = 5, **kw
 ) -> Dict[str, float]:
     """items/sec of a (jitted) fn, amortized over ``iters`` back-to-back
-    calls with a true fetch barrier and the 1-call baseline subtracted."""
+    calls with a true fetch barrier and the 1-call baseline subtracted.
+
+    CAVEAT for fns with large outputs (≳100 MB): pipelined dispatch keeps
+    every queued call's output buffer live, so ``iters`` × output-size of
+    HBM fills up and allocator backpressure inflates the measurement (block
+    0's 786 MB int8 output measured 7.98 ms raw vs 6.58 ms with the output
+    consumed to a scalar inside the jit — see BASELINE.md round-5). When
+    the real pipeline consumes the output on-device, time
+    ``jit(lambda *a: fn(*a).sum())`` instead.
+    """
     out = fn(*args, **kw)
     device_fetch_sync(out)
     for _ in range(warmup):
