@@ -6,6 +6,7 @@ the pool-before-epilogue reordering is an exact monotonicity argument,
 not an approximation (see the kernel module docstring)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,36 @@ def test_kernel_matches_quant_block_exactly(cin, cout, T, t_pad, t_len, last,
     want = np.asarray(ref.astype(jnp.float32))
     np.testing.assert_array_equal(got, want)
     # zero-tail contract: pad rows are exact zeros
+    np.testing.assert_array_equal(
+        np.asarray(out[:, T // 2:].astype(jnp.float32)), 0.0)
+
+
+@pytest.mark.skipif(
+    os.environ.get("VOICEMAP_TEST_PLATFORM", "cpu") != "tpu",
+    reason="compiled-mode (Mosaic) parity needs the real chip")
+@pytest.mark.parametrize("variant", ["pshift", "xk3"])
+def test_kernel_mosaic_parity_onchip(variant):
+    """Non-interpret parity on the real chip (r4 verdict weak #7): the
+    Mosaic lowering of the kernel — at a serving-aligned shape — must
+    match models/quant_infer._quant_block bit-exactly, like the interpret
+    path does. "xk" is omitted: it does NOT lower (tpu.concatenate offset
+    mismatch on the +1-shifted int8 slice; BASELINE.md round 5)."""
+    rng = np.random.default_rng(11)
+    cin, cout, T, t_pad = 128, 128, 500, 512
+    x = rng.integers(-127, 128, (4, T, cin)).astype(np.int8)
+    qblk = _rand_qblk(rng, cin, cout)
+    ref = _quant_block(jnp.asarray(x), qblk, 2, 1, last=False,
+                       out_dtype=jnp.bfloat16)
+    xp = np.zeros((4, t_pad, cin), np.int8)
+    xp[:, :T] = x
+    prep = cat_weights if variant == "pshift" else stack_weights
+    out = pallas_quant_block(
+        jnp.asarray(xp), prep(qblk["w_q"]), qblk["alpha"], qblk["beta"],
+        qblk["gamma"], t_valid=T, t_len=256, variant=variant,
+        interpret=False)
+    got = np.asarray(out[:, : T // 2].astype(jnp.float32))
+    want = np.asarray(ref.astype(jnp.float32))
+    np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(
         np.asarray(out[:, T // 2:].astype(jnp.float32)), 0.0)
 
