@@ -51,6 +51,21 @@ def test_pallas_preprocess_matches_jnp():
     np.testing.assert_allclose(np.asarray(out)[..., 0], expect, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_preprocess_nonmultiple_batch():
+    """B % block_rows != 0 pads with duplicate rows and slices back —
+    parity must hold for every real row (int8 calibration and protocol
+    eval call with arbitrary B)."""
+    frag, ds, B = 3200, 4, 11
+    store_p, idx, offs = make_case(3, 20, 6000, frag, ds, B)
+    out = pallas_preprocess(
+        jnp.asarray(store_p), jnp.asarray(idx), jnp.asarray(offs),
+        frag, ds, interpret=True,
+    )
+    expect = reference_chain(store_p, idx, offs, frag, ds)
+    assert out.shape == (B, frag // ds, 1)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], expect, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_preprocess_zero_and_aligned_offsets():
     """fine==0 / lane==0 (roll by full window) and hi==0 paths, plus
     arbitrary sample-granular offsets (lane splice edges 1, 127)."""
@@ -79,9 +94,12 @@ def test_pallas_preprocess_no_whiten_no_ds():
 
 def test_pallas_preprocess_validation():
     store = pad_store(jnp.zeros((4, 2048), jnp.int16))
-    with pytest.raises(ValueError):  # batch not divisible by block
-        pallas_preprocess(store, jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32),
-                          1280, 4, block_rows=8, interpret=True)
+    # Batch not divisible by block_rows: pads with duplicate rows and
+    # slices back (int8 calibration and protocol eval use arbitrary B;
+    # the old loud ValueError crashed them on-chip).
+    out = pallas_preprocess(store, jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32),
+                            1280, 4, block_rows=8, interpret=True)
+    assert out.shape[0] == 3
     with pytest.raises(ValueError):  # store not padded
         pallas_preprocess(jnp.zeros((4, 2000), jnp.int16), jnp.zeros(8, jnp.int32),
                           jnp.zeros(8, jnp.int32), 1280, 4, interpret=True)

@@ -282,7 +282,21 @@ def test_embed_all_streaming_int8_mel(corpus_root, ds):
                                   qvars=q_frag)
     )
     assert t_str.shape == t_dev.shape
-    np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)
+    if jax.default_backend() == "tpu":
+        # On-chip the device-store path calibrates through the Pallas
+        # gather+whiten kernel while the streaming path calibrates on
+        # host-preprocessed frags — f32 reduction order differs, so an
+        # activation sitting on an int8 rounding boundary can flip one
+        # code (observed: 1 of 48 rows, max |Δ| 1.9e-3). Require
+        # one-code-slack closeness + decision-level agreement instead
+        # of bit-identity.
+        np.testing.assert_allclose(t_str, t_dev, rtol=0, atol=5e-3)
+        cos = np.sum(t_str * t_dev, axis=1) / (
+            np.linalg.norm(t_str, axis=1) * np.linalg.norm(t_dev, axis=1)
+        )
+        assert cos.min() > 0.9999
+    else:
+        np.testing.assert_allclose(t_str, t_dev, rtol=1e-5, atol=1e-6)
 
     with pytest.raises(ValueError, match="artifact kind"):
         nshot.embed_all_streaming(model, state, cfg, ds,

@@ -477,6 +477,11 @@ def test_fit_dp_streaming(corpus_root):
     assert 0.0 <= history[-1]["val_1-shot_acc"] <= 1.0
 
 
+@pytest.mark.skipif(
+    jax.device_count() < 2,
+    reason="batch 9 divides by 1 device — the rejection can only trip on a "
+    "multi-device mesh (on-chip axon runs see a single chip)",
+)
 def test_fit_dp_on_rejects_indivisible_batch(corpus_root):
     """An explicit dp='on' must fail loudly when the batch cannot shard."""
     from voicemap_tpu.train.loop import fit

@@ -34,6 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def mxu_precision(dtype):
+    """Explicit contraction precision for in-kernel GEMMs.
+
+    The global ``jax_default_matmul_precision`` flag (the on-chip test
+    conftest pins it to ``highest`` for f32 parity) lowers to
+    ``tpu.matmul contract_precision<fp32>``, which Mosaic REJECTS for
+    sub-f32 operands ("Bad lhs type" — found by the round-5 on-chip suite).
+    bf16/int8 kernel GEMMs always take one native MXU pass, so DEFAULT is
+    exact for them and identical to production behavior; f32 operands
+    return None to keep the ambient flag so parity pins still apply.
+    """
+    return None if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -134,12 +148,14 @@ def _kernel(
                 y = jax.lax.dot_general(
                     fst_ref[:], w4_ref[:].astype(gemm_dtype),
                     (((0,), (0,)), ((), ())),
+                    precision=mxu_precision(gemm_dtype),
                     preferred_element_type=jnp.float32,
                 )  # (t_ch, pool*C)
             else:
                 f = fst_ref[:].T  # (t_ch, rows_pad) — in-VMEM transpose
                 y = jnp.dot(
                     f, w4_ref[:].astype(gemm_dtype),
+                    precision=mxu_precision(gemm_dtype),
                     preferred_element_type=jnp.float32,
                 )  # (t_ch, pool*C)
             y = jax.nn.relu(y + bias[None, :]) * mul[None, :] + add[None, :]
@@ -308,6 +324,7 @@ def _kernel_chan(
         for s in range(n_slices):
             f_ref[:, s * c2 : (s + 1) * c2] = in2[base + s : base + s + t_ch, :]
         y = jnp.dot(f_ref[:], w4_ref[:].astype(gemm_dtype),
+                    precision=mxu_precision(gemm_dtype),
                     preferred_element_type=jnp.float32)
         y = jax.nn.relu(y + bias[None, :]) * mul[None, :] + add[None, :]
         out = y[:, :c_out]
@@ -469,6 +486,7 @@ def _kernel_chan_streamed(
                     gemm_dtype
                 )
             y = jnp.dot(f_ref[:], w4_ref[:],
+                        precision=mxu_precision(gemm_dtype),
                         preferred_element_type=jnp.float32)
             y = (jax.nn.relu(y + aff_ref[0:1, :]) * aff_ref[1:2, :]
                  + aff_ref[2:3, :])

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_conv import _ceil_to, phase_split, stacked_weights
+from .pallas_conv import _ceil_to, mxu_precision, phase_split, stacked_weights
 
 LANE = 128
 
@@ -98,6 +98,7 @@ def _fwd_kernel(
             f = fst_ref[:].T  # (t_ch, rows_pad)
             a = jax.nn.relu(
                 jnp.dot(f, w4_ref[:].astype(gemm_dtype),
+                        precision=mxu_precision(gemm_dtype),
                         preferred_element_type=jnp.float32)
                 + bias
             )  # (t_ch, pool*C) full-rate relu activation, VMEM-only
@@ -167,6 +168,7 @@ def _bwd_kernel(
             f = fst_ref[:].T
             a = jax.nn.relu(
                 jnp.dot(f, w4_ref[:].astype(gemm_dtype),
+                        precision=mxu_precision(gemm_dtype),
                         preferred_element_type=jnp.float32)
                 + bias
             )  # (t_ch, pool*C)
@@ -197,7 +199,9 @@ def _bwd_kernel(
                 sum_dz[j] = sum_dz[j] + jnp.sum(dz_j, axis=0, keepdims=True)
             # dW4 += Fᵀ·dz: fst is already (rows_pad, t_ch) = Fᵀ.
             acc += jnp.dot(
-                fst_ref[:], dz_ref[:], preferred_element_type=jnp.float32
+                fst_ref[:], dz_ref[:],
+                precision=mxu_precision(gemm_dtype),
+                preferred_element_type=jnp.float32,
             )
     dw4_ref[:] += acc
     dstats_ref[0:1, :] += jnp.concatenate(sum_dz, axis=1)

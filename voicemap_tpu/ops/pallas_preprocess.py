@@ -160,7 +160,18 @@ def pallas_gather_whiten(
     N, T_store = store.shape
     B = indices.shape[0]
     if B % block_rows:
-        raise ValueError(f"batch {B} not a multiple of block_rows {block_rows}")
+        # Rows are independent and batch is a free grid dim: pad with
+        # duplicates of row 0 and slice back. Callers with arbitrary B
+        # (int8 calibration over a whole store, protocol eval subsets)
+        # crashed here on-chip before round 5.
+        b_pad = block_rows - B % block_rows
+        out = pallas_gather_whiten(
+            jnp.asarray(store),
+            jnp.concatenate([indices, jnp.broadcast_to(indices[:1], (b_pad,))]),
+            jnp.concatenate([offsets, jnp.broadcast_to(offsets[:1], (b_pad,))]),
+            fragment_length, whiten_rms, whiten_eps, block_rows, interpret,
+        )
+        return out[:B]
     if T_store % (ALIGN_ROWS * LANE):
         raise ValueError("store must be padded with pad_store()/decimate_store()")
     frag_rows = -(-fragment_length // LANE)  # ceil: window covers the fragment

@@ -135,6 +135,7 @@ def _kernel(
             P = jax.lax.dot_general(
                 x_ext, w_ref[:],
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.int32,
             )  # (t_len + 1|2, 3*Cout)
             off = 0 if lo_edge else 1
@@ -210,13 +211,16 @@ def _kernel_xk3(
             hi = (jnp.concatenate([row[base + 1: rows], zrow], 0)
                   if base + t_len + 1 > rows
                   else row[base + 1: base + t_len + 1])
+            prec = jax.lax.Precision.DEFAULT
             acc = jax.lax.dot_general(
-                lo, w_ref[:c_in], dn, preferred_element_type=jnp.int32)
-            acc = acc + jax.lax.dot_general(
-                mid, w_ref[c_in: 2 * c_in], dn,
+                lo, w_ref[:c_in], dn, precision=prec,
                 preferred_element_type=jnp.int32)
             acc = acc + jax.lax.dot_general(
-                hi, w_ref[2 * c_in:], dn, preferred_element_type=jnp.int32)
+                mid, w_ref[c_in: 2 * c_in], dn, precision=prec,
+                preferred_element_type=jnp.int32)
+            acc = acc + jax.lax.dot_general(
+                hi, w_ref[2 * c_in:], dn, precision=prec,
+                preferred_element_type=jnp.int32)
             pairs = acc.reshape(u_ch, 2 * c_out)
             pmax = jnp.maximum(pairs[:, :c_out], pairs[:, c_out:])
             pmin = jnp.minimum(pairs[:, :c_out], pairs[:, c_out:])
@@ -282,6 +286,7 @@ def _kernel_xk(
             x3 = jnp.concatenate([lo, mid, hi], axis=1)  # (t_len, 3*Cin)
             acc = jax.lax.dot_general(
                 x3, w_ref[:], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.int32,
             )  # (t_len, Cout)
             pairs = acc.reshape(u_ch, 2 * c_out)
