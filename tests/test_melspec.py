@@ -83,6 +83,20 @@ def test_pallas_log_mel_fused_geometry():
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_pallas_log_mel_fused_odd_batch():
+    """Fused path pads odd batches to the sublane multiple and slices back
+    (Mosaic requires frame-scratch writes at multiples of 8; found on-chip
+    round 5 via quant mel calibration at B=4)."""
+    cfg = MelConfig(n_fft=512, hop_length=128, win_length=384, n_mels=32)
+    rng = np.random.default_rng(11)
+    for b in (1, 5):
+        x = jnp.asarray(rng.standard_normal((b, 5120)), jnp.float32)
+        ref = np.asarray(melspec.log_mel_spectrogram(x, cfg, SR))
+        out = np.asarray(pallas_log_mel(x, cfg, SR, interpret=True))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_log_mel_3d_input():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((2, 1600, 1)), jnp.float32)

@@ -114,14 +114,23 @@ def pallas_log_mel(
     if x.ndim == 3:
         x = x[..., 0]
     B, T = x.shape
-    # Shrink the batch block to divide B (model init probes with batch 1).
-    while block_rows > 1 and B % block_rows:
-        block_rows //= 2
     n_frames = melspec.num_frames(T, cfg)
     C, S, fb = _bases(cfg, sample_rate)
     x = x.astype(jnp.float32)
 
     if cfg.hop_length % 128 == 0 and cfg.win_length % 128 == 0 and T % 128 == 0:
+        # The fused kernel's frame-scratch writes start at j*b_blk in the
+        # sublane dim, which Mosaic must statically prove is a multiple of 8
+        # (f32 sublane tile). Pad odd batches (init probes, calibration
+        # subsets) with duplicate rows to the next multiple of 8 and slice
+        # the padding back off; production batches are already aligned.
+        block_rows = max(8, -(-block_rows // 8) * 8)
+        pad = (-B) % block_rows
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, T))], axis=0)
+        B_pad = B + pad
+        while block_rows > 8 and B_pad % block_rows:
+            block_rows //= 2
         kernel = functools.partial(
             _fused_kernel,
             b_blk=block_rows,
@@ -130,9 +139,9 @@ def pallas_log_mel(
             hop=cfg.hop_length,
             log_eps=cfg.log_eps,
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            grid=(B // block_rows,),
+            grid=(B_pad // block_rows,),
             in_specs=[
                 pl.BlockSpec((block_rows, T), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -146,7 +155,7 @@ def pallas_log_mel(
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (B, n_frames, cfg.n_mels), jnp.float32
+                (B_pad, n_frames, cfg.n_mels), jnp.float32
             ),
             scratch_shapes=[
                 pltpu.VMEM(
@@ -156,6 +165,7 @@ def pallas_log_mel(
             ],
             interpret=interpret,
         )(x, C, S, fb)
+        return out[:B] if pad else out
 
     # Pre-framed path: XLA gathers the (B·F, W) frame matrix; the kernel
     # fuses window (in the bases) → DFT → power → mel → log.
